@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Benchmark: batched MSCKF throughput on one chip.
+
+Runs a fleet of independent filters (Monte-Carlo perturbed inits) through a
+synthetic EuRoC-rate VIO sequence (20 Hz camera / 200 Hz IMU) and reports
+aggregate frame-steps per second.
+
+Baseline: the reference (daniilidis-group/msckf_mono) is a single-threaded
+real-time system — one filter at 20 frames/s (BASELINE.md "implied per-frame
+budget", /root/reference/datasets/asl_msckf.cpp:199-200,472). ``vs_baseline``
+is therefore (aggregate frames/s) / 20: how many reference-equivalent
+real-time filters one chip sustains.
+
+Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--frames", type=int, default=200)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from msckf_mono_tpu.core.init import ground_truth_init
+    from msckf_mono_tpu.data import synthetic
+    from msckf_mono_tpu.eval.ate import ate_rmse
+    from msckf_mono_tpu.parallel import montecarlo, sharding
+    from msckf_mono_tpu.utils.config import MsckfConfig
+
+    cfg = MsckfConfig()
+    dev = jax.devices()[0]
+    log(f"device: {dev}, batch={args.batch}, frames={args.frames}")
+
+    seq = synthetic.generate(cfg, n_frames=args.frames, seed=0, pixel_noise=0.5)
+    frames = synthetic.to_frame_inputs(seq, jnp.float32)
+
+    imu = ground_truth_init(
+        p_I_G=[5.0, 0.0, 0.0],
+        q_IG=[1, 0, 0, 0],
+        v_I_G=[0.0, 5.0 * 0.35, 0.2 * 1.4],
+        b_g=seq.b_g,
+        b_a=seq.b_a,
+        dtype=jnp.float32,
+    )
+
+    states = montecarlo.make_fleet(cfg, imu, args.batch, dtype=jnp.float32)
+    batch_frames = montecarlo.broadcast_frames(frames, args.batch)
+
+    mesh = sharding.make_mesh()
+    fleet_run = sharding.make_sharded_run(cfg, mesh)
+    states = sharding.shard_batch(states, mesh)
+
+    log("compiling...")
+    t0 = time.perf_counter()
+    final, outs, metrics = fleet_run(states, batch_frames)
+    jax.block_until_ready(final.P)
+    log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
+
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        final, outs, metrics = fleet_run(states, batch_frames)
+        jax.block_until_ready(final.P)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    frame_steps_per_s = args.batch * args.frames / dt
+    rt_equiv = frame_steps_per_s / 20.0
+
+    # accuracy sanity on filter 0
+    est = np.asarray(outs.p_I_G[:, 0])
+    ate = ate_rmse(est, seq.gt_p)
+    log(f"run time best of {args.reps}: {dt:.3f}s; ATE(filter0)={ate:.3f} m")
+    log(f"metrics: { {k: float(v) for k, v in metrics.items()} }")
+    if not np.isfinite(est).all() or ate > 2.0:
+        log("WARNING: accuracy sanity failed; reporting value 0")
+        frame_steps_per_s = 0.0
+        rt_equiv = 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "batched_vio_frame_steps_per_s",
+                "value": round(frame_steps_per_s, 1),
+                "unit": "frame-steps/s (batch={} filters, 20Hz cam + 200Hz IMU pipeline)".format(
+                    args.batch
+                ),
+                "vs_baseline": round(rt_equiv, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

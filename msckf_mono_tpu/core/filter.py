@@ -1,0 +1,155 @@
+"""Per-frame filter step and device-resident sequence driver.
+
+The reference's main loop (/root/reference/datasets/asl_msckf.cpp:206-478)
+drains IMU readings then runs augment -> update -> addFeatures -> marginalize ->
+pruneRedundantStates -> pruneEmptyStates per camera frame. Here that whole
+frame becomes ONE pure function scanned over pre-staged sensor arrays with
+``lax.scan`` — no callbacks, no host round-trips — and batches over filters
+with ``vmap`` (see parallel/ for the mesh-sharded version).
+
+The live-node variant (src/ros_interface.cpp:111-116) skips redundant pruning;
+that is the ``use_prune_redundant`` config flag.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from msckf_mono_tpu.core import augment, prune, tracks, update
+from msckf_mono_tpu.core.propagate import propagate
+from msckf_mono_tpu.core.types import FilterState
+from msckf_mono_tpu.utils.config import MsckfConfig
+
+
+@struct.dataclass
+class FrameInput:
+    """One camera frame plus the IMU samples since the previous frame.
+
+    Leading axes: () for a single frame, (T, ...) when scanned, with an
+    additional leading batch axis in batched mode.
+    """
+
+    imu_omega: jnp.ndarray   # (K, 3)
+    imu_acc: jnp.ndarray     # (K, 3)
+    imu_dt: jnp.ndarray      # (K,)   0 for padded samples
+    tracked_uv: jnp.ndarray  # (F, 2) undistorted normalized coords
+    tracked_ids: jnp.ndarray # (F,)   int32
+    tracked_valid: jnp.ndarray  # (F,)
+    new_uv: jnp.ndarray      # (F, 2)
+    new_ids: jnp.ndarray     # (F,)
+    new_valid: jnp.ndarray   # (F,)
+    state_id: jnp.ndarray    # () int32
+    time: jnp.ndarray        # ()
+    frame_valid: jnp.ndarray # () bool
+
+
+@struct.dataclass
+class FrameOutput:
+    p_I_G: jnp.ndarray
+    q_IG: jnp.ndarray
+    v_I_G: jnp.ndarray
+    b_g: jnp.ndarray
+    b_a: jnp.ndarray
+    cam_count: jnp.ndarray
+    num_residualized: jnp.ndarray
+
+
+def propagate_block(state: FilterState, frame: FrameInput, config: MsckfConfig) -> FilterState:
+    """Scan the frame's IMU samples (padded samples carry dt=0 == identity)."""
+
+    def body(s, inp):
+        omega, acc, dt = inp
+        return propagate(s, omega, acc, dt, config), None
+
+    state, _ = jax.lax.scan(
+        body, state, (frame.imu_omega, frame.imu_acc, frame.imu_dt)
+    )
+    return state
+
+
+def step(state: FilterState, frame: FrameInput, config: MsckfConfig):
+    """One full frame: propagate block + vision update pipeline.
+
+    The whole step runs under HIGHEST matmul precision: on TPU the default
+    f32 dot lowers to fast bf16 MXU passes, whose ~8-bit mantissa silently
+    destroys the covariance algebra (empirically: the filter diverges within
+    ~100 frames). "highest" keeps true f32 accumulation; the image front-end
+    is free to use the fast default.
+    """
+    state0 = state
+
+    with jax.default_matmul_precision(config.filter.matmul_precision):
+        state = propagate_block(state, frame, config)
+        state = augment.augment_state(state, frame.state_id, frame.time, config)
+        state, staged = tracks.update_tracks(
+            state, frame.tracked_uv, frame.tracked_ids, frame.tracked_valid, config
+        )
+        state = tracks.add_features(
+            state, frame.new_uv, frame.new_ids, frame.new_valid, config
+        )
+        state = update.marginalize(state, staged, config)
+        if config.filter.use_prune_redundant:
+            state = prune.prune_redundant_states(state, config)
+        state = prune.prune_empty_states(state, config)
+
+    # Padded frames leave the state untouched.
+    state = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(
+            jnp.reshape(frame.frame_valid, (1,) * new.ndim), new, old
+        ),
+        state,
+        state0,
+    )
+
+    out = FrameOutput(
+        p_I_G=state.imu.p_I_G,
+        q_IG=state.imu.q_IG,
+        v_I_G=state.imu.v_I_G,
+        b_g=state.imu.b_g,
+        b_a=state.imu.b_a,
+        cam_count=state.window.count,
+        num_residualized=state.num_residualized,
+    )
+    return state, out
+
+
+def run_sequence(state: FilterState, frames: FrameInput, config: MsckfConfig):
+    """Scan `step` over a (T, ...) stack of FrameInputs."""
+
+    def body(s, f):
+        return step(s, f, config)
+
+    return jax.lax.scan(body, state, frames)
+
+
+def finish(state: FilterState, config: MsckfConfig) -> FilterState:
+    """End-of-sequence: residualize every remaining track (msckf.h:765-807)."""
+    shp = config.shapes
+    t = state.tracks
+    eligible = t.active & (t.lengths >= config.filter.min_track_length)
+
+    order = jnp.argsort(jnp.logical_not(eligible), stable=True)[: shp.max_staged]
+    staged_valid = eligible[order]
+    from msckf_mono_tpu.core.types import StagedTracks
+
+    staged = StagedTracks(
+        obs=t.obs[order],
+        obs_mask=t.obs_mask[order] & staged_valid[:, None],
+        feature_id=t.feature_id[order],
+        valid=staged_valid,
+    )
+    overflow = jnp.maximum(jnp.sum(eligible) - shp.max_staged, 0).astype(jnp.int32)
+
+    cleared = t.replace(
+        active=t.active & ~eligible,
+        feature_id=jnp.where(eligible, -1, t.feature_id),
+        obs_mask=t.obs_mask & ~eligible[:, None],
+    )
+    state = state.replace(
+        tracks=cleared,
+        diag=state.diag.replace(staged_overflow=state.diag.staged_overflow + overflow),
+    )
+    with jax.default_matmul_precision(config.filter.matmul_precision):
+        return update.marginalize(state, staged, config)

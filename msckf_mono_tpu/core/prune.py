@@ -1,0 +1,196 @@
+"""Window pruning.
+
+Fixed-shape re-design of ``pruneEmptyStates`` / ``pruneRedundantStates`` /
+``findRedundantCamStates`` (/root/reference/include/msckf_mono/msckf.h:453-761,
+1049-1098). Slot removal is masked compaction (core/window.py); the redundant
+path's "use the doomed observations in one last update" becomes the same
+projected-row machinery as marginalization, restricted to the involved
+observation columns.
+
+Behavioral notes (all from the reference):
+* empty pruning only ever removes a LEADING run of feature-less states, and
+  only while the window exceeds ``max_cam_states`` (msckf.h:699-717);
+* redundant pruning is gated on a hardcoded window size of 20 (msckf.h:455),
+  not on ``max_cam_states``;
+* keyframe selection walks the window marking states too close in both
+  distance and angle to the last kept keyframe, never touching the last 3
+  states, stopping early once the window would fit, then tops up with the
+  oldest unmarked states; fewer than 2 marks means no pruning (msckf.h:1049-1098);
+* tracks keep a cached triangulation (``initialized``/``p_f_G``) that later
+  prunes reuse without re-checking (msckf.h:488-531).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from msckf_mono_tpu.core.types import FilterState
+from msckf_mono_tpu.core.window import compact_slots
+from msckf_mono_tpu.core import triangulate
+from msckf_mono_tpu.core.update import (
+    gating_test,
+    measurement_update,
+    stack_rows,
+    track_projected_rows,
+)
+from msckf_mono_tpu.utils import quat
+from msckf_mono_tpu.utils.config import MsckfConfig
+
+
+def slot_has_active_features(state: FilterState):
+    """Per-slot: does any live track observe it? (== tracked_feature_ids nonempty)."""
+    return jnp.any(state.tracks.active[:, None] & state.tracks.obs_mask, axis=0)
+
+
+def prune_empty_states(state: FilterState, config: MsckfConfig) -> FilterState:
+    N = config.shapes.num_slots
+    max_states = config.filter.max_cam_states
+    count = state.window.count
+    has = slot_has_active_features(state)
+
+    over = count - max_states  # only slots 0..over-1 are candidates
+    idx = jnp.arange(N)
+    nonempty_tail = has & (idx >= 1)
+    first_nonempty = jnp.where(
+        jnp.any(nonempty_tail), jnp.argmax(nonempty_tail), over
+    )
+    n_remove = jnp.minimum(first_nonempty, over)
+    n_remove = jnp.where((count > max_states) & ~has[0], n_remove, 0)
+
+    keep = state.window.valid & (idx >= n_remove)
+    return compact_slots(state, keep)
+
+
+def find_redundant_slots(state: FilterState, config: MsckfConfig):
+    """Keyframe-style selection of slots to remove (msckf.h:1049-1098)."""
+    N = config.shapes.num_slots
+    window = state.window
+    count = window.count
+    max_states = config.filter.max_cam_states
+    dist_thresh = config.redundancy_distance
+    angle_thresh = config.redundancy_angle
+
+    idx = jnp.arange(N)
+    protected = idx >= count - 3  # the last 3 states are never candidates
+
+    def body(j, carry):
+        rm, marked, kf, stopped = carry
+        active = window.valid[j] & ~protected[j] & ~stopped & (j >= 1)
+        dist = jnp.linalg.norm(window.p_C_G[j] - window.p_C_G[kf])
+        angle = quat.angular_distance(window.q_CG[j], window.q_CG[kf])
+        close = (dist < dist_thresh) & (angle < angle_thresh)
+        mark = active & close
+        rm = rm.at[j].set(rm[j] | mark)
+        marked = marked + mark.astype(jnp.int32)
+        kf = jnp.where(active & ~close, j, kf)
+        stopped = stopped | (active & ((count - marked) <= max_states))
+        return rm, marked, kf, stopped
+
+    rm0 = jnp.zeros((N,), bool)
+    rm, marked, _, _ = jax.lax.fori_loop(
+        1, N, body, (rm0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    )
+
+    # Top-up: mark the first num_over_max slots that are still unmarked.
+    num_over_max = count - marked - max_states
+    topup = (idx < num_over_max) & ~rm & window.valid
+    rm = rm | topup
+
+    enough = (jnp.sum(rm) >= 2) & (count >= 5)
+    rm = rm & enough
+    return rm
+
+
+def prune_redundant_states(state: FilterState, config: MsckfConfig) -> FilterState:
+    fcfg = config.filter
+    shp = config.shapes
+    dtype = state.P.dtype
+    sigma2 = jnp.asarray(config.u_var_prime, dtype)
+    window = state.window
+    tracks = state.tracks
+    g = state.imu.g
+
+    run = window.count >= 20  # hardcoded in the reference (msckf.h:455)
+    rm = find_redundant_slots(state, config) & run
+    any_rm = jnp.any(rm)
+
+    involved = tracks.obs_mask & rm[None, :]           # (M, N)
+    n_involved = jnp.sum(involved, axis=1)
+
+    # Tracks needing residualization of their involved obs (>=2 of them).
+    cand = tracks.active & (n_involved >= 2)
+
+    # Compact candidate tracks into a fixed buffer.
+    S = shp.max_staged * 2
+    order = jnp.argsort(jnp.logical_not(cand), stable=True)[:S]
+    c_valid = cand[order]
+    c_obs = tracks.obs[order]
+    c_mask_full = tracks.obs_mask[order] & c_valid[:, None]
+    c_mask_inv = involved[order] & c_valid[:, None]
+    c_init = tracks.initialized[order] & c_valid
+    c_pf = tracks.p_f_G[order]
+    n_dropped_tracks = jnp.maximum(jnp.sum(cand) - S, 0).astype(jnp.int32)
+
+    # Un-initialized candidates: motion gate + triangulation over ALL their obs.
+    motion_ok = jax.vmap(
+        lambda o, om: triangulate.check_motion(
+            o, om, window.q_CG, window.p_C_G, fcfg.translation_threshold
+        )
+    )(c_obs, c_mask_full)
+    p_new, tri_ok = jax.vmap(
+        lambda o, om: triangulate.initialize_position(
+            o, om, window.q_CG, window.p_C_G, config.max_gn_cost_norm
+        )
+    )(c_obs, c_mask_full)
+    tri_ok = tri_ok & jnp.all(jnp.isfinite(p_new), axis=-1)
+    p_new = jnp.nan_to_num(p_new, nan=0.0, posinf=0.0, neginf=0.0)
+
+    newly_init = c_valid & ~c_init & motion_ok & tri_ok
+    use_track = c_valid & (c_init | newly_init)
+    p_use = jnp.where(newly_init[:, None], p_new, c_pf)
+
+    # Projected rows over the involved observations only.
+    H_all, r_all, rows_valid = jax.vmap(
+        lambda o, om, pf: track_projected_rows(o, om, pf, window, g, config)
+    )(c_obs, c_mask_inv, p_use)
+
+    dof = jnp.sum(c_mask_inv, axis=1) - 1
+    gate_ok = jax.vmap(
+        lambda Ho, ro, rv, d: gating_test(Ho, ro, rv, state.P, d, sigma2, config)
+    )(H_all, r_all, rows_valid, dof)
+
+    pass_mask = use_track & gate_ok
+    row_masks = rows_valid & pass_mask[:, None]
+    H, r, n_rows_dropped = stack_rows(H_all, r_all, row_masks, config)
+    state = measurement_update(state, H, r, sigma2, config)
+
+    # Persist newly-cached triangulations back into the (un-permuted) table.
+    init_scatter = jnp.zeros_like(tracks.initialized).at[order].set(newly_init)
+    pf_scatter = jnp.zeros_like(tracks.p_f_G).at[order].set(
+        jnp.where(newly_init[:, None], p_new, 0.0)
+    )
+    tracks = state.tracks.replace(
+        initialized=state.tracks.initialized | init_scatter,
+        p_f_G=jnp.where(init_scatter[:, None], pf_scatter, state.tracks.p_f_G),
+    )
+
+    # Erase involved observations from every track (msckf.h:482-485, 498-524,
+    # 597-606 — all paths end with the involved obs removed).
+    tracks = tracks.replace(
+        obs_mask=tracks.obs_mask & ~rm[None, :],
+        obs=tracks.obs * (~rm[None, :, None]),
+    )
+    state = state.replace(tracks=tracks)
+
+    # Remove the slots.
+    keep = state.window.valid & ~rm
+    state = compact_slots(state, keep)
+
+    diag = state.diag.replace(
+        row_overflow=state.diag.row_overflow + n_rows_dropped,
+        staged_overflow=state.diag.staged_overflow + n_dropped_tracks,
+        gating_rejects=state.diag.gating_rejects
+        + jnp.sum(use_track & ~gate_ok).astype(jnp.int32),
+    )
+    return state.replace(diag=diag)

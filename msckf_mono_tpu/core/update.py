@@ -1,0 +1,290 @@
+"""Measurement Jacobians, nullspace projection, gating, and the EKF update.
+
+Re-design of ``calcResidual`` / ``calcMeasJacobian`` / ``gatingTest`` /
+``measurementUpdate`` (/root/reference/include/msckf_mono/msckf.h:905-978,
+1103-1124, 1325-1423) for fixed shapes and the MXU:
+
+* Per-track observations are gathered in *compacted order* (valid slots first).
+  Because Householder QR preserves exact zero rows, the complete-QR left-
+  nullspace basis of the compacted H_f is block-diagonal: its first ``2m-3``
+  columns carry all information and the remainder produce exactly-zero rows.
+  That makes per-track projected rows contiguous, so they can be compacted
+  into a fixed global row budget.
+* The reference's Householder-QR "T_H" compression of the stacked Jacobian
+  (msckf.h:1343-1366) is replaced by Gram/Cholesky square-root compression:
+  T_H = chol(HᵀH)ᵀ and r_n = L⁻¹Hᵀr give the identical update (H = Q₁T_H up
+  to an orthogonal factor that cancels) while being matmul-dominated — the
+  shape XLA maps onto the MXU — instead of sequential Householder reflections.
+* Measurement noise is treated as isotropic σ² = u_var_prime, matching the
+  gating test exactly (msckf.h:1114) and the update to ~(u_var'/v_var'-1)
+  relative error (u_var' and v_var' differ by <1% on EuRoC). Documented
+  deviation from the anisotropic R_o of msckf.h:423.
+* Joseph-form covariance correction + symmetrization (msckf.h:1394-1403).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from msckf_mono_tpu.core.types import FilterState, StagedTracks
+from msckf_mono_tpu.core import triangulate
+from msckf_mono_tpu.utils import quat
+from msckf_mono_tpu.utils.chi2 import chi2_gate_table
+from msckf_mono_tpu.utils.config import MsckfConfig
+
+
+def track_projected_rows(obs, obs_mask, p_f_G, window, g, config: MsckfConfig):
+    """Nullspace-projected measurement rows for ONE track.
+
+    Returns (H_o ((2N-3), D), r_o (2N-3,), rows_valid (2N-3,)).
+    Mirrors msckf.h:905-978 including the per-observation observability
+    constraint A - A·u(uᵀu)⁻¹uᵀ.
+    """
+    dtype = obs.dtype
+    N = obs_mask.shape[0]
+    D = config.shapes.state_dim
+
+    # Refine validity BEFORE sorting: observations with near-zero depth produce
+    # unbounded Jacobians that inflate S in the gating test enough to sneak
+    # garbage through (gamma -> 0); drop them like a lost observation. The
+    # reference has no such guard but also dies less gracefully there. The
+    # sort-by-validity keeps the zero rows of H_f contiguous at the bottom,
+    # which the QR-nullspace row compaction relies on.
+    depth_all = jnp.einsum(
+        "nij,nj->ni", quat.to_rotmat(window.q_CG), p_f_G[None, :] - window.p_C_G
+    )[:, 2]
+    eff_mask = obs_mask & (depth_all > 1e-2)
+
+    order = jnp.argsort(jnp.logical_not(eff_mask), stable=True)
+    m = jnp.sum(eff_mask)
+    valid = jnp.arange(N) < m
+
+    q = window.q_CG[order]
+    p = window.p_C_G[order]
+    z = obs[order]
+
+    R = quat.to_rotmat(q)                                # (N,3,3)
+    dp = p_f_G[None, :] - p                              # (N,3)
+    p_f_C = jnp.einsum("nij,nj->ni", R, dp)              # (N,3)
+    X, Y, Z = p_f_C[:, 0], p_f_C[:, 1], jnp.where(valid, p_f_C[:, 2], 1.0)
+    Z = jnp.where(jnp.abs(Z) > 1e-8, Z, 1.0)
+
+    inv_z = 1.0 / Z
+    J = jnp.stack(
+        [
+            jnp.stack([inv_z, jnp.zeros_like(inv_z), -X * inv_z * inv_z], axis=-1),
+            jnp.stack([jnp.zeros_like(inv_z), inv_z, -Y * inv_z * inv_z], axis=-1),
+        ],
+        axis=1,
+    )  # (N,2,3)
+
+    A = jnp.concatenate(
+        [jnp.einsum("nab,nbc->nac", J, quat.skew(p_f_C)), -jnp.einsum("nab,nbc->nac", J, R)],
+        axis=-1,
+    )  # (N,2,6)
+
+    u = jnp.concatenate(
+        [jnp.einsum("nij,j->ni", R, g), jnp.einsum("nij,nj->ni", quat.skew(dp), jnp.broadcast_to(g, dp.shape))],
+        axis=-1,
+    )  # (N,6)
+    uu = jnp.sum(u * u, axis=-1, keepdims=True)          # (N,1)
+    Au = jnp.einsum("nab,nb->na", A, u)                   # (N,2)
+    H_x6 = A - Au[:, :, None] * (u / jnp.maximum(uu, 1e-20))[:, None, :]  # (N,2,6)
+    H_f = -H_x6[:, :, 3:6]                                # (N,2,3)
+
+    r = z - jnp.stack([X * inv_z, Y * inv_z], axis=-1)    # (N,2)
+
+    # Zero invalid observation rows (exact zeros are load-bearing for QR).
+    H_x6 = H_x6 * valid[:, None, None]
+    H_f = H_f * valid[:, None, None]
+    r = r * valid[:, None]
+
+    # Scatter the 6-wide blocks into full-width rows at their slot columns.
+    cols = 15 + 6 * order[:, None] + jnp.arange(6)[None, :]           # (N,6)
+    H_x = jnp.zeros((N, 2, D), dtype)
+    H_x = H_x.at[
+        jnp.arange(N)[:, None, None], jnp.arange(2)[None, :, None], cols[:, None, :]
+    ].set(H_x6)
+    H_x = H_x.reshape(2 * N, D)
+    H_f_rows = H_f.reshape(2 * N, 3)
+    r_rows = r.reshape(2 * N)
+
+    # Left-nullspace projection via complete QR (replaces full-U SVD,
+    # msckf.h:954-957 — any orthonormal basis gives the identical update).
+    Q, _ = jnp.linalg.qr(H_f_rows, mode="complete")       # (2N, 2N)
+    A_null = Q[:, 3:]                                     # (2N, 2N-3)
+    H_o = A_null.T @ H_x                                  # (2N-3, D)
+    r_o = A_null.T @ r_rows                               # (2N-3,)
+
+    rows_valid = jnp.arange(2 * N - 3) < jnp.maximum(2 * m - 3, 0)
+    H_o = H_o * rows_valid[:, None]
+    r_o = r_o * rows_valid
+    return H_o, r_o, rows_valid
+
+
+def gating_test(H_o, r_o, rows_valid, P, dof, sigma2, config: MsckfConfig):
+    """Mahalanobis gate (msckf.h:1103-1124), incl. the table[dof+1] quirk."""
+    dtype = H_o.dtype
+    S = H_o @ P @ H_o.T + sigma2 * jnp.eye(H_o.shape[0], dtype=dtype)
+    # LU solve, not Cholesky: in f32 the covariance accumulates a mildly
+    # negative eigenvalue floor (the reference's f32 Eigen path does too, and
+    # its LDLT/inverse() calls tolerate it silently, msckf.h:1115/1370);
+    # Cholesky would NaN on the first negative pivot.
+    gamma = r_o @ jnp.linalg.solve(S, r_o)
+    table = chi2_gate_table(dtype)
+    offset = 2 if config.filter.chi2_offbyone else 0
+    idx = jnp.clip(dof + offset, 1, table.shape[0] - 1)
+    return gamma < table[idx]
+
+
+def stack_rows(H_all, r_all, row_masks, config: MsckfConfig):
+    """Compact valid projected rows from all tracks into the fixed budget.
+
+    H_all: (S, R_t, D); r_all: (S, R_t); row_masks: (S, R_t).
+    Returns (H (R_MAX, D), r (R_MAX,), n_dropped).
+    """
+    R_MAX = config.shapes.max_update_rows
+    S, R_t, D = H_all.shape
+    flat_H = H_all.reshape(S * R_t, D)
+    flat_r = r_all.reshape(S * R_t)
+    flat_m = row_masks.reshape(S * R_t)
+
+    order = jnp.argsort(jnp.logical_not(flat_m), stable=True)[:R_MAX]
+    sel_valid = flat_m[order]
+    H = flat_H[order] * sel_valid[:, None]
+    r = flat_r[order] * sel_valid
+    n_dropped = jnp.maximum(jnp.sum(flat_m) - R_MAX, 0).astype(jnp.int32)
+    return H, r, n_dropped
+
+
+def apply_correction(state: FilterState, deltaX, config: MsckfConfig) -> FilterState:
+    """Multiplicative state correction (msckf.h:1375-1391)."""
+    N = config.shapes.num_slots
+    imu = state.imu
+    dq = quat.build_update_quat(deltaX[0:3])
+    imu = imu.replace(
+        q_IG=quat.mul(dq, imu.q_IG),
+        b_g=imu.b_g + deltaX[3:6],
+        v_I_G=imu.v_I_G + deltaX[6:9],
+        b_a=imu.b_a + deltaX[9:12],
+        p_I_G=imu.p_I_G + deltaX[12:15],
+    )
+    dc = deltaX[15:].reshape(N, 6)
+    dq_c = quat.build_update_quat(dc[:, 0:3])
+    window = state.window
+    window = window.replace(
+        q_CG=quat.normalize(quat.mul(dq_c, window.q_CG)),
+        p_C_G=window.p_C_G + dc[:, 3:6],
+    )
+    return state.replace(imu=imu, window=window)
+
+
+def compress_rows(H, r):
+    """QR measurement compression with nonzero-row masking.
+
+    The fixed-shape analogue of msckf.h:1343-1366: H = Q₁·T_H with T_H the R
+    factor; rows of T_H with (numerically) zero content carry no information —
+    the reference drops them, we zero them (and the matching r_n entries), so
+    the downstream solve sees only the σ² diagonal there. This is exact (no
+    Gram squaring, no jitter) and rank-robust in f32.
+    """
+    Q, R = jnp.linalg.qr(H, mode="reduced")  # (rows, D), (D, D)
+    r_n = Q.T @ r
+    row_norm = jnp.max(jnp.abs(R), axis=1)
+    keep = row_norm > 1e-6 * jnp.maximum(jnp.max(row_norm), 1e-30)
+    T_H = R * keep[:, None]
+    r_n = r_n * keep
+    return T_H, r_n
+
+
+def measurement_update(state: FilterState, H, r, sigma2, config: MsckfConfig) -> FilterState:
+    """EKF update (msckf.h:1325-1423): QR compression, Kalman gain via a
+    symmetric solve, multiplicative correction, Joseph-form covariance."""
+    dtype = H.dtype
+    D = H.shape[1]
+    P = state.P
+
+    T_H, r_n = compress_rows(H, r)  # (k, D), k = min(rows, D)
+
+    S_mat = T_H @ P @ T_H.T + sigma2 * jnp.eye(T_H.shape[0], dtype=dtype)
+    # K = P T_Hᵀ S⁻¹. LU, not Cholesky — see gating_test on f32 indefiniteness
+    # (matches the reference's temp.inverse(), msckf.h:1370).
+    K = jnp.linalg.solve(S_mat, T_H @ P).T
+    deltaX = K @ r_n
+
+    IKH = jnp.eye(D, dtype=dtype) - K @ T_H
+    P_new = IKH @ P @ IKH.T + sigma2 * (K @ K.T)
+    P_new = 0.5 * (P_new + P_new.T)
+
+    state = apply_correction(state, deltaX, config)
+    return state.replace(P=P_new)
+
+
+def marginalize(state: FilterState, staged: StagedTracks, config: MsckfConfig) -> FilterState:
+    """Residualize staged tracks and update (msckf.h:336-449).
+
+    Pipeline per staged track: motion gate (skipped for the first 4
+    residualized tracks, msckf.h:354) -> LM triangulation -> projected rows ->
+    Mahalanobis gate -> global row stack -> one joint EKF update.
+    """
+    fcfg = config.filter
+    dtype = state.P.dtype
+    sigma2 = jnp.asarray(config.u_var_prime, dtype)
+    window = state.window
+    g = state.imu.g
+
+    motion_ok = jax.vmap(
+        lambda o, om: triangulate.check_motion(
+            o, om, window.q_CG, window.p_C_G, fcfg.translation_threshold
+        )
+    )(staged.obs, staged.obs_mask)
+    motion_ok = motion_ok | (state.num_residualized <= 3)
+    motion_ok = motion_ok & staged.valid
+
+    p_f_G, tri_ok = jax.vmap(
+        lambda o, om: triangulate.initialize_position(
+            o, om, window.q_CG, window.p_C_G, config.max_gn_cost_norm
+        )
+    )(staged.obs, staged.obs_mask)
+    track_ok = motion_ok & tri_ok
+    # Degenerate geometry can yield non-finite points; those tracks are already
+    # rejected (NaN comparisons gate False), but the values must be sanitized
+    # so masked-out rows multiply to exact zeros downstream.
+    tri_ok = tri_ok & jnp.all(jnp.isfinite(p_f_G), axis=-1)
+    track_ok = motion_ok & tri_ok
+    p_f_G = jnp.nan_to_num(p_f_G, nan=0.0, posinf=0.0, neginf=0.0)
+
+    H_all, r_all, rows_valid = jax.vmap(
+        lambda o, om, pf: track_projected_rows(o, om, pf, window, g, config)
+    )(staged.obs, staged.obs_mask, p_f_G)
+
+    dof = jnp.sum(staged.obs_mask, axis=1) - 1
+    gate_ok = jax.vmap(
+        lambda Ho, ro, rv, d: gating_test(Ho, ro, rv, state.P, d, sigma2, config)
+    )(H_all, r_all, rows_valid, dof)
+
+    pass_mask = track_ok & gate_ok
+    row_masks = rows_valid & pass_mask[:, None]
+    H, r, n_dropped = stack_rows(H_all, r_all, row_masks, config)
+
+    state = measurement_update(state, H, r, sigma2, config)
+
+    diag = state.diag.replace(
+        row_overflow=state.diag.row_overflow + n_dropped,
+        motion_rejects=state.diag.motion_rejects
+        + jnp.sum(staged.valid & ~motion_ok).astype(jnp.int32),
+        triangulation_rejects=state.diag.triangulation_rejects
+        + jnp.sum(motion_ok & ~tri_ok).astype(jnp.int32),
+        gating_rejects=state.diag.gating_rejects
+        + jnp.sum(track_ok & ~gate_ok).astype(jnp.int32),
+        updates_applied=state.diag.updates_applied
+        + jnp.any(row_masks).astype(jnp.int32),
+    )
+    map_mask = track_ok
+    return state.replace(
+        num_residualized=state.num_residualized + jnp.sum(track_ok).astype(jnp.int32),
+        map_pts=jnp.where(map_mask[:, None], p_f_G, 0.0).astype(dtype),
+        map_mask=map_mask,
+        diag=diag,
+    )

@@ -1,0 +1,172 @@
+"""Corner detection: FAST-10 + score + 3x3 NMS + Shi-Tomasi grid selection.
+
+Re-design of ``CornerDetector`` (/root/reference/src/corner_detector.cpp:8-134)
+and the uzh-rpg/libfast native dependency as whole-image, batched jnp compute
+(a Pallas kernel drop-in lives in ops/ once profiled):
+
+* FAST-10 segment test (16-pixel Bresenham circle, >=10 contiguous brighter/
+  darker by t=20, corner_detector.cpp:91-99);
+* the FAST score = max threshold keeping the corner (fast_corner_score_10),
+  computed in closed form as the max-over-arcs of min-over-arc |difference|;
+* 3x3 non-max suppression on the FAST score (fast_nonmax_3x3);
+* Shi-Tomasi min-eigenvalue over a 30x30 patch (corner_detector.cpp:38-79,
+  from rpg_vikit) via integral images;
+* per-grid-cell best corner above ``detection_threshold`` with an occupancy
+  mask (corner_detector.cpp:105-133), grid sized ``(dim // n) + 1``.
+
+Everything is mask-based with a fixed (n_cells,) output.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# (dx, dy) offsets of the 16-pixel Bresenham circle, in circular order.
+FAST_OFFSETS = (
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+)
+
+
+def _circle_stack(img):
+    """(16, H, W) of the circle-shifted image (roll; 3px border invalid)."""
+    shifted = [jnp.roll(img, shift=(-dy, -dx), axis=(0, 1)) for dx, dy in FAST_OFFSETS]
+    return jnp.stack(shifted, axis=0)
+
+
+def fast_score_10(img, threshold: float = 20.0):
+    """FAST-10 corner mask and score. img: (H, W) float. Returns (mask, score)."""
+    c = img[None, :, :]
+    circ = _circle_stack(img)
+    diff = circ - c  # (16,H,W)
+
+    def arc_min(d):
+        # min over each length-10 circular arc -> (16,H,W)
+        mins = []
+        for k in range(16):
+            idx = [(k + j) % 16 for j in range(10)]
+            mins.append(jnp.min(d[jnp.asarray(idx)], axis=0))
+        return jnp.stack(mins, axis=0)
+
+    bright_arc = arc_min(diff)           # arcs where all 10 are brighter by m
+    dark_arc = arc_min(-diff)
+    score_b = jnp.max(bright_arc, axis=0)
+    score_d = jnp.max(dark_arc, axis=0)
+    score = jnp.maximum(score_b, score_d)
+    mask = score > threshold
+
+    # invalidate the 3px border contaminated by roll wraparound
+    H, W = img.shape
+    yy = jnp.arange(H)[:, None]
+    xx = jnp.arange(W)[None, :]
+    interior = (yy >= 3) & (yy < H - 3) & (xx >= 3) & (xx < W - 3)
+    return mask & interior, jnp.where(interior, score, 0.0)
+
+
+def nonmax_3x3(score, mask):
+    """Keep corners that are the strict-or-first maximum of their 3x3 patch."""
+    s = jnp.where(mask, score, -jnp.inf)
+    neighborhood = jnp.full_like(s, -jnp.inf)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            neighborhood = jnp.maximum(neighborhood, jnp.roll(s, (dy, dx), (0, 1)))
+    return mask & (s >= neighborhood) & (s > -jnp.inf)
+
+
+def _integral_boxsum(img, half: int):
+    """Box sum of side 2*half ending so the box is [u-half, u+half) x same in y.
+
+    Mirrors the reference patch convention (corner_detector.cpp:49-72: x in
+    [u-half, u+half), y in [v-half, v+half)).
+    """
+    H, W = img.shape
+    ii = jnp.zeros((H + 1, W + 1), img.dtype)
+    ii = ii.at[1:, 1:].set(jnp.cumsum(jnp.cumsum(img, axis=0), axis=1))
+
+    # sum over rows [v-half, v+half) cols [u-half, u+half)
+    # = ii[v+half, u+half] - ii[v-half, u+half] - ii[v+half, u-half] + ii[v-half, u-half]
+    out = jnp.zeros((H, W), img.dtype)
+    ys = jnp.arange(H)
+    xs = jnp.arange(W)
+    y0 = jnp.clip(ys - half, 0, H)
+    y1 = jnp.clip(ys + half, 0, H)
+    x0 = jnp.clip(xs - half, 0, W)
+    x1 = jnp.clip(xs + half, 0, W)
+    out = (
+        ii[y1][:, x1] - ii[y0][:, x1] - ii[y1][:, x0] + ii[y0][:, x0]
+    )
+    return out
+
+
+def shi_tomasi_score(img, halfbox: int = 15):
+    """Min-eigenvalue response per pixel (reference corner_detector.cpp:38-79)."""
+    H, W = img.shape
+    dx = jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1)   # I(x+1) - I(x-1)
+    dy = jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0)
+
+    box_area = (2 * halfbox) ** 2
+    dxx = _integral_boxsum(dx * dx, halfbox) / (2.0 * box_area)
+    dyy = _integral_boxsum(dy * dy, halfbox) / (2.0 * box_area)
+    dxy = _integral_boxsum(dx * dy, halfbox) / (2.0 * box_area)
+
+    tr = dxx + dyy
+    det = dxx * dyy - dxy * dxy
+    disc = jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))
+    score = 0.5 * (tr - disc)
+
+    yy = jnp.arange(H)[:, None]
+    xx = jnp.arange(W)[None, :]
+    # reference returns 0 when the patch touches the 1px-padded border
+    interior = (
+        (yy - halfbox >= 1) & (yy + halfbox < H - 1)
+        & (xx - halfbox >= 1) & (xx + halfbox < W - 1)
+    )
+    return jnp.where(interior, score, 0.0)
+
+
+def detect_features(
+    img,
+    occupied_cells,
+    n_rows: int = 10,
+    n_cols: int = 10,
+    fast_threshold: float = 20.0,
+    detection_threshold: float = 40.0,
+):
+    """Full detection pipeline. Returns (xy (C,2), score (C,), valid (C,)) with
+    C = n_rows*n_cols grid cells — at most one new corner per unoccupied cell.
+
+    img: (H, W) float; occupied_cells: (C,) bool from current features.
+    """
+    H, W = img.shape
+    grid_h = H // n_rows + 1
+    grid_w = W // n_cols + 1
+    n_cells = n_rows * n_cols
+
+    mask, fscore = fast_score_10(img, fast_threshold)
+    nms = nonmax_3x3(fscore, mask)
+    st = shi_tomasi_score(img)
+
+    yy = jnp.arange(H)[:, None]
+    xx = jnp.arange(W)[None, :]
+    cell = (yy // grid_h) * n_cols + (xx // grid_w)      # (H, W)
+
+    cand = nms & ~occupied_cells[cell]
+    scores = jnp.where(cand, st, -1.0).reshape(-1)
+    cell_flat = cell.reshape(-1)
+
+    import jax
+
+    best = jax.ops.segment_max(scores, cell_flat, num_segments=n_cells)
+    # winner pixel per cell: smallest flat index achieving the max
+    pix = jnp.arange(H * W)
+    is_best = (scores == best[cell_flat]) & (scores > 0)
+    winner = jax.ops.segment_min(
+        jnp.where(is_best, pix, H * W), cell_flat, num_segments=n_cells
+    )
+    valid = (best > detection_threshold) & (winner < H * W)
+    wy = (winner // W).astype(jnp.float32)
+    wx = (winner % W).astype(jnp.float32)
+    xy = jnp.stack([wx, wy], axis=-1)
+    return jnp.where(valid[:, None], xy, 0.0), jnp.where(valid, best, 0.0), valid

@@ -1,0 +1,179 @@
+"""Pyramidal Lucas-Kanade optical flow.
+
+Re-design of ``CornerTracker`` (/root/reference/src/corner_detector.cpp:136-194,
+cv::calcOpticalFlowPyrLK with OPTFLOW_USE_INITIAL_FLOW) as batched jnp compute:
+
+* Gaussian pyramid via the standard 5-tap [1,4,6,4,1]/16 pyrDown kernel;
+* per level, forward-additive LK over a square window with fixed iteration
+  count and the reference's termination criteria baked in as masks
+  (configure(51, 1e-5, 4, 30, 1.0) at corner_detector.cpp:206 — note the
+  eps=1.0px criterion);
+* OPTFLOW_USE_INITIAL_FLOW semantics: the caller provides the predicted
+  position at full resolution, used as the starting point at the top level;
+* ``min_eigen_threshold`` on the normalized spatial-gradient matrix and
+  out-of-image checks produce the status mask;
+* the caller applies the reference's post-filters (|flow| <= 25px, in-image,
+  corner_detector.cpp:176-193).
+
+All features track in parallel as one (F, win, win) batch of gathers — the
+gather-heavy inner loop is the designated Pallas target (SURVEY.md §7 "hard
+parts").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _pyr_down(img):
+    """Blur with [1,4,6,4,1]/16 separable kernel, then 2x subsample."""
+    k = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], img.dtype) / 16.0
+    # reflect-pad then separable conv
+    p = jnp.pad(img, ((2, 2), (0, 0)), mode="edge")
+    img_v = sum(p[i : i + img.shape[0], :] * k[i] for i in range(5))
+    p = jnp.pad(img_v, ((0, 0), (2, 2)), mode="edge")
+    img_h = sum(p[:, i : i + img.shape[1]] * k[i] for i in range(5))
+    return img_h[::2, ::2]
+
+
+def build_pyramid(img, levels: int):
+    pyr = [img]
+    for _ in range(levels):
+        pyr.append(_pyr_down(pyr[-1]))
+    return pyr
+
+
+def _bilinear(img, y, x):
+    """Bilinear sample; clamps to the border. y/x arbitrary shape."""
+    H, W = img.shape
+    x0 = jnp.clip(jnp.floor(x), 0, W - 2)
+    y0 = jnp.clip(jnp.floor(y), 0, H - 2)
+    xi = x0.astype(jnp.int32)
+    yi = y0.astype(jnp.int32)
+    fx = jnp.clip(x - x0, 0.0, 1.0)
+    fy = jnp.clip(y - y0, 0.0, 1.0)
+    i00 = img[yi, xi]
+    i01 = img[yi, xi + 1]
+    i10 = img[yi + 1, xi]
+    i11 = img[yi + 1, xi + 1]
+    return (
+        i00 * (1 - fy) * (1 - fx)
+        + i01 * (1 - fy) * fx
+        + i10 * fy * (1 - fx)
+        + i11 * fy * fx
+    )
+
+
+def _window_grid(half: int):
+    d = jnp.arange(-half, half + 1, dtype=jnp.float32)
+    return jnp.meshgrid(d, d, indexing="ij")  # (dy, dx)
+
+
+def _track_level(img_prev, img_cur, pts_prev, pts_cur, valid, half, iters, eps, min_eig_thr):
+    """One pyramid level of LK for all features. pts are (F,2) xy."""
+    gy, gx = _window_grid(half)             # (w, w)
+    win_n = (2 * half + 1) ** 2
+
+    def one(pt_prev, pt_cur, ok):
+        px, py = pt_prev[0], pt_prev[1]
+        ys = py + gy
+        xs = px + gx
+        # template and its gradients from the previous image
+        tpl = _bilinear(img_prev, ys, xs)
+        ix = 0.5 * (_bilinear(img_prev, ys, xs + 1) - _bilinear(img_prev, ys, xs - 1))
+        iy = 0.5 * (_bilinear(img_prev, ys + 1, xs) - _bilinear(img_prev, ys - 1, xs))
+        gxx = jnp.sum(ix * ix)
+        gxy = jnp.sum(ix * iy)
+        gyy = jnp.sum(iy * iy)
+        # min eigenvalue of G / window-size (cv semantics)
+        tr = (gxx + gyy) / win_n
+        det = (gxx * gyy - gxy * gxy) / (win_n * win_n)
+        min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
+        good = ok & (min_eig > min_eig_thr)
+
+        det_g = gxx * gyy - gxy * gxy
+        det_g = jnp.where(jnp.abs(det_g) > 1e-12, det_g, 1e-12)
+
+        def body(i, carry):
+            pt, done = carry
+            cys = pt[1] + gy
+            cxs = pt[0] + gx
+            diff = _bilinear(img_cur, cys, cxs) - tpl
+            bx = jnp.sum(diff * ix)
+            by = jnp.sum(diff * iy)
+            # solve G d = -b
+            dx = -(gyy * bx - gxy * by) / det_g
+            dy = -(-gxy * bx + gxx * by) / det_g
+            step = jnp.stack([dx, dy])
+            new_pt = jnp.where(done, pt, pt + step)
+            done = done | (jnp.linalg.norm(step) < eps)
+            return new_pt, done
+
+        pt_out, _ = jax.lax.fori_loop(0, iters, body, (pt_cur, ~good))
+        return jnp.where(good, pt_out, pt_cur), good
+
+    return jax.vmap(one)(pts_prev, pts_cur, valid)
+
+
+@partial(jax.jit, static_argnames=("window_size", "max_level", "max_iters"))
+def track_features(
+    img_prev,
+    img_cur,
+    pts_prev,
+    pts_pred,
+    valid,
+    window_size: int = 31,
+    max_level: int = 4,
+    max_iters: int = 30,
+    eps: float = 1.0,
+    min_eigen_threshold: float = 1e-5,
+):
+    """Track (F,2) points from img_prev to img_cur starting at pts_pred.
+
+    Returns (pts_out (F,2), status (F,)). Reference defaults: window 51,
+    4 levels, 30 iters, eps 1.0 (corner_detector.cpp:206); window default here
+    is 31 for TPU cost — pass 51 for strict parity.
+    """
+    half = window_size // 2
+    pyr_prev = build_pyramid(img_prev, max_level)
+    pyr_cur = build_pyramid(img_cur, max_level)
+
+    scale_top = 2.0**max_level
+    pts_p = pts_prev / scale_top
+    pts_c = pts_pred / scale_top
+    status = valid
+
+    for lvl in range(max_level, -1, -1):
+        if lvl != max_level:
+            pts_p = pts_prev / (2.0**lvl)
+            pts_c = pts_c * 2.0
+        pts_c, good = _track_level(
+            pyr_prev[lvl], pyr_cur[lvl], pts_p, pts_c, status,
+            half, max_iters, eps, min_eigen_threshold,
+        )
+        # cv keeps tracking through levels; status finalized at level 0
+        if lvl == 0:
+            status = status & good
+
+    H, W = img_cur.shape
+    in_img = (
+        (pts_c[:, 0] >= 0) & (pts_c[:, 0] <= W) & (pts_c[:, 1] >= 0) & (pts_c[:, 1] <= H)
+    )
+    status = status & in_img
+    return pts_c, status
+
+
+def reject_outliers(pts_prev, pts_cur, status, img_shape, max_flow: float = 25.0):
+    """The reference's post-track rejection (corner_detector.cpp:176-193)."""
+    H, W = img_shape
+    flow = jnp.linalg.norm(pts_cur - pts_prev, axis=-1)
+    ok = (
+        status
+        & (flow <= max_flow)
+        & (pts_cur[:, 0] >= 0) & (pts_cur[:, 0] <= W)
+        & (pts_cur[:, 1] >= 0) & (pts_cur[:, 1] <= H)
+    )
+    return ok

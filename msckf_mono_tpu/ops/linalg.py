@@ -1,0 +1,42 @@
+"""Small-matrix linear algebra primitives.
+
+XLA's generic LU path is a poor fit for the filter's tiny systems (the 3x3
+triangulation solves at /root/reference/include/msckf_mono/msckf.h:1222 run
+thousands of times per frame across the batch, and f64 LU is not even
+implemented on TPU); closed-form solves keep them on the VPU as pure
+elementwise code that fuses into the surrounding computation.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def solve3x3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 solve via the adjugate; broadcasts over leading axes.
+
+    A: (..., 3, 3), b: (..., 3). Intended for well-damped SPD systems (the LM
+    normal equations); the determinant is guarded against exact zero.
+    """
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+
+    c00 = a11 * a22 - a12 * a21
+    c01 = a12 * a20 - a10 * a22
+    c02 = a10 * a21 - a11 * a20
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    det = jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+
+    c10 = a02 * a21 - a01 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a01 * a20 - a00 * a21
+    c20 = a01 * a12 - a02 * a11
+    c21 = a02 * a10 - a00 * a12
+    c22 = a00 * a11 - a01 * a10
+
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    x0 = (c00 * b0 + c10 * b1 + c20 * b2) / det
+    x1 = (c01 * b0 + c11 * b1 + c21 * b2) / det
+    x2 = (c02 * b0 + c12 * b1 + c22 * b2) / det
+    return jnp.stack([x0, x1, x2], axis=-1)

@@ -1,0 +1,174 @@
+"""Typed configuration for the TPU MSCKF.
+
+Replaces the reference's three-tier ROS parameter plumbing
+(/root/reference/src/ros_interface.cpp:221-346, datasets/asl_msckf.cpp:59-134)
+with a single explicit dataclass hierarchy plus a derived-parameter stage.
+Defaults reproduce the EuRoC configuration in
+/root/reference/launch/euroc.launch:13-45 combined with the in-code defaults the
+launch file's misnamed keys silently fall back to (see SURVEY.md §5 "config").
+
+Everything here is *static* (hashable) so it can be closed over by jitted
+functions; per-filter array-valued parameters live in the state pytrees instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole intrinsics + IMU-camera extrinsics.
+
+    Mirrors ``Camera<_S>`` (reference types.h:49-55). The stereo baseline ``b``
+    of the reference is unused there and omitted here. Extrinsics: ``q_CI``
+    rotates IMU-frame vectors into the camera frame; ``p_C_I`` is the camera
+    position in the IMU frame (ros_interface.cpp:250-274).
+    """
+
+    f_u: float = 458.654
+    f_v: float = 457.296
+    c_u: float = 367.215
+    c_v: float = 248.375
+    # wxyz
+    q_CI: tuple = (0.002571, -0.0153, -0.712468, 0.701527)
+    p_C_I: tuple = (-0.0216401454975, -0.064676986768, 0.00981073058949)
+    width: int = 752
+    height: int = 480
+    distortion_model: str = "radtan"
+    distortion_coeffs: tuple = (-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05)
+
+
+@dataclass(frozen=True)
+class NoiseConfig:
+    """Continuous-time IMU noise + initial covariance + pixel noise.
+
+    Mirrors ``noiseParams`` (reference types.h:86-92) with the derivation of
+    ``u_var_prime = (feature_cov / f_u)^2`` done in :func:`derived_pixel_sigma`
+    (ros_interface.cpp:313-314).
+    """
+
+    w_var: float = 1e-4          # gyro noise density^2        (euroc.launch:17)
+    dbg_var: float = 3.6733e-5   # gyro bias random walk^2     (euroc.launch:18)
+    a_var: float = 1e-2          # accel noise density^2       (euroc.launch:19)
+    dba_var: float = 7e-2        # accel bias random walk^2    (euroc.launch:20)
+
+    q_var_init: float = 1e-5
+    bg_var_init: float = 1e-2
+    v_var_init: float = 1e-2
+    ba_var_init: float = 1e-2
+    p_var_init: float = 1e-12
+
+    feature_cov_px: float = 2.0  # pixel sigma  (euroc.launch:15)
+
+
+@dataclass(frozen=True)
+class FilterConfig:
+    """Filter thresholds, mirroring ``MSCKFParams`` (reference types.h:94-99).
+
+    ``max_gn_cost_norm_px`` is in pixels and converted by ``(px / f_u)^2``
+    (ros_interface.cpp:317). ``min_rcond`` is carried for parity but unused by
+    the reference core as well (SURVEY.md §2.1).
+    """
+
+    max_gn_cost_norm_px: float = 7.0       # euroc.launch:28
+    translation_threshold: float = 0.1     # euroc.launch:29
+    min_rcond: float = 3e-12
+    redundancy_angle_thresh: float = 0.005   # see note below
+    redundancy_distance_thresh: float = 0.05
+    min_track_length: int = 5              # euroc.launch:34
+    max_track_length: int = 50             # euroc.launch:35
+    max_cam_states: int = 20               # in-code default (asl_msckf.cpp:118)
+    # offline runner runs redundant pruning (asl_msckf.cpp:289); the live node
+    # has it commented out (ros_interface.cpp:111-116)
+    use_prune_redundant: bool = True
+    # matmul precision for the filter math. On TPU the "default" f32 dot uses
+    # bf16 MXU passes whose mantissa destroys covariance algebra; "float32"
+    # (a.k.a. highest) keeps true f32.
+    matmul_precision: str = "highest"
+
+    # Reference quirks, individually toggleable:
+    chi2_offbyone: bool = True             # msckf.h:1117 table[dof+1]
+    # NOTE: the reference loader stores the "keyframe_transl_dist" launch key
+    # into redundancy_angle_thresh and "keyframe_rot_dist" into
+    # redundancy_distance_thresh (asl_msckf.cpp:112-113) — the fields above
+    # hold the post-load values, so the in-filter use needs no swap. Config
+    # loaders reading launch-style keys must reproduce that crossed mapping.
+
+
+@dataclass(frozen=True)
+class ShapeConfig:
+    """Static shape caps (the TPU-native replacement for dynamic std::vectors).
+
+    The window may transiently exceed ``max_cam_states`` in the reference (long
+    live tracks pin their states), so ``num_slots`` adds headroom. Track
+    observations are indexed *by window slot*: the reference maintains the
+    invariant that live track observations always refer to live camera states
+    (obs are erased whenever their state is pruned, msckf.h:482-534, 685-761),
+    which bounds per-track observations by the window size.
+    """
+
+    num_slots: int = 28            # camera-state window slots (max_cam_states + headroom)
+    max_tracks: int = 128          # live feature-track rows
+    max_staged: int = 32           # tracks residualized per frame step
+    max_update_rows: int = 384     # row budget of the stacked EKF update
+    max_features_per_frame: int = 64   # front-end features ingested per frame
+    imu_per_frame: int = 10        # IMU samples between camera frames (200/20 Hz)
+
+    @property
+    def state_dim(self) -> int:
+        return 15 + 6 * self.num_slots
+
+
+@dataclass(frozen=True)
+class MsckfConfig:
+    camera: CameraConfig = CameraConfig()
+    noise: NoiseConfig = NoiseConfig()
+    filter: FilterConfig = FilterConfig()
+    shapes: ShapeConfig = ShapeConfig()
+
+    # ---- derived parameters (explicit derivation stage) ----
+
+    @property
+    def u_var_prime(self) -> float:
+        return (self.noise.feature_cov_px / self.camera.f_u) ** 2
+
+    @property
+    def v_var_prime(self) -> float:
+        return (self.noise.feature_cov_px / self.camera.f_v) ** 2
+
+    @property
+    def max_gn_cost_norm(self) -> float:
+        return (self.filter.max_gn_cost_norm_px / self.camera.f_u) ** 2
+
+    @property
+    def redundancy_angle(self) -> float:
+        return self.filter.redundancy_angle_thresh
+
+    @property
+    def redundancy_distance(self) -> float:
+        return self.filter.redundancy_distance_thresh
+
+    def q_imu_diag(self):
+        n = self.noise
+        return [n.w_var] * 3 + [n.dbg_var] * 3 + [n.a_var] * 3 + [n.dba_var] * 3
+
+    def initial_imu_covar_diag(self):
+        n = self.noise
+        return (
+            [n.q_var_init] * 3
+            + [n.bg_var_init] * 3
+            + [n.v_var_init] * 3
+            + [n.ba_var_init] * 3
+            + [n.p_var_init] * 3
+        )
+
+    def replace(self, **kw) -> "MsckfConfig":
+        return dataclasses.replace(self, **kw)
+
+
+EUROC_CONFIG = MsckfConfig(
+    filter=FilterConfig(max_cam_states=20),
+    shapes=ShapeConfig(num_slots=28),
+)

@@ -1,0 +1,222 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from msckf_mono_tpu.core import update as upd
+from msckf_mono_tpu.core.types import init_filter_state, StagedTracks
+from msckf_mono_tpu.utils import quat
+from msckf_mono_tpu.utils.config import MsckfConfig
+
+CFG = MsckfConfig()
+N = CFG.shapes.num_slots
+D = CFG.shapes.state_dim
+
+
+def _state_with_window(n_cams=8, seed=0, dtype=jnp.float64):
+    rng = np.random.default_rng(seed)
+    state = init_filter_state(CFG, dtype=dtype)
+    q = np.zeros((N, 4))
+    q[:, 0] = 1.0
+    p = np.zeros((N, 3))
+    valid = np.zeros((N,), bool)
+    for i in range(n_cams):
+        axis = rng.normal(size=3) * 0.02
+        angle = np.linalg.norm(axis)
+        q[i] = [np.cos(angle / 2), *(axis / max(angle, 1e-12) * np.sin(angle / 2))]
+        p[i] = [0.3 * i, 0.02 * i, 0.01 * i]
+        valid[i] = True
+    window = state.window.replace(
+        q_CG=jnp.asarray(q, dtype),
+        p_C_G=jnp.asarray(p, dtype),
+        valid=jnp.asarray(valid),
+        state_id=jnp.where(jnp.asarray(valid), jnp.arange(N), -1),
+    )
+    # seed a reasonable covariance over valid dims
+    Dv = 15 + 6 * n_cams
+    X = rng.normal(size=(Dv, Dv))
+    Pv = X @ X.T * 1e-6 + np.eye(Dv) * 1e-4
+    P = np.zeros((D, D))
+    P[:Dv, :Dv] = Pv
+    return state.replace(window=window, P=jnp.asarray(P, dtype))
+
+
+def _observe(state, point, n_obs, noise=0.0, seed=1):
+    rng = np.random.default_rng(seed)
+    q = np.asarray(state.window.q_CG)
+    p = np.asarray(state.window.p_C_G)
+    obs = np.zeros((N, 2))
+    mask = np.zeros((N,), bool)
+    for i in range(n_obs):
+        R = np.asarray(quat.to_rotmat(jnp.asarray(q[i])))
+        pc = R @ (point - p[i])
+        obs[i] = pc[:2] / pc[2] + rng.normal(size=2) * noise
+        mask[i] = True
+    return jnp.asarray(obs, state.P.dtype), jnp.asarray(mask)
+
+
+def test_projected_rows_nullspace_property():
+    """H_o rows must be orthogonal to the feature-position Jacobian and
+    numerically reproduce d(residual)/d(state) for the window states."""
+    state = _state_with_window(8)
+    point = np.array([0.5, -0.3, 4.0])
+    obs, mask = _observe(state, point, 8)
+    g = state.imu.g
+
+    H_o, r_o, rows_valid = upd.track_projected_rows(
+        obs, mask, jnp.asarray(point), state.window, g, CFG
+    )
+    H_o, r_o = np.asarray(H_o), np.asarray(r_o)
+    m = 8
+    # rows beyond 2m-3 are exactly zero
+    assert np.all(H_o[2 * m - 3 :] == 0)
+    assert np.all(r_o[2 * m - 3 :] == 0)
+    # perfect observations => zero residual
+    np.testing.assert_allclose(r_o, 0, atol=1e-9)
+    # valid rows have unit-ish norms (information present)
+    assert np.linalg.norm(H_o[: 2 * m - 3]) > 1e-3
+
+
+def test_projected_rows_residual_consistency():
+    """r_o ≈ H_o-projected linearization: moving a camera by delta changes the
+    residual as -H_x@delta in the projected space."""
+    state = _state_with_window(8)
+    point = np.array([0.5, -0.3, 4.0])
+    obs, mask = _observe(state, point, 8)
+    g = state.imu.g
+
+    # Perturb camera slot 2 position
+    delta = np.zeros((D,))
+    dp = np.array([0.003, -0.002, 0.001])
+    delta[15 + 6 * 2 + 3 : 15 + 6 * 2 + 6] = dp
+    window2 = state.window.replace(
+        p_C_G=state.window.p_C_G.at[2].add(jnp.asarray(dp))
+    )
+
+    H_o, r_o, _ = upd.track_projected_rows(
+        obs, mask, jnp.asarray(point), state.window, g, CFG
+    )
+    H_o2, r_o2, _ = upd.track_projected_rows(
+        obs, mask, jnp.asarray(point), window2, g, CFG
+    )
+    # residual after perturbation ≈ r - H delta in each basis; bases differ only
+    # where H_f changed (tiny), compare magnitudes
+    pred = np.linalg.norm(np.asarray(r_o) - np.asarray(H_o) @ delta)
+    got = np.linalg.norm(np.asarray(r_o2))
+    np.testing.assert_allclose(got, pred, rtol=2e-2, atol=1e-7)
+
+
+def test_gating_accepts_consistent_rejects_inconsistent():
+    state = _state_with_window(8)
+    point = np.array([0.5, -0.3, 4.0])
+    sigma2 = CFG.u_var_prime
+    g = state.imu.g
+
+    obs, mask = _observe(state, point, 8, noise=np.sqrt(sigma2) * 0.5)
+    H_o, r_o, rv = upd.track_projected_rows(
+        obs, mask, jnp.asarray(point), state.window, g, CFG
+    )
+    ok = upd.gating_test(H_o, r_o, rv, state.P, 7, sigma2, CFG)
+    assert bool(ok)
+
+    # Per-observation outliers: not explainable by any single 3D point, so the
+    # residual survives the nullspace projection and must be gated out.
+    rng = np.random.default_rng(9)
+    obs_bad = jnp.asarray(np.asarray(obs) + rng.normal(size=obs.shape) * 0.05 * np.asarray(mask)[:, None])
+    H_b, r_b, rv_b = upd.track_projected_rows(
+        obs_bad, mask, jnp.asarray(point), state.window, g, CFG
+    )
+    ok_bad = upd.gating_test(H_b, r_b, rv_b, state.P, 7, sigma2, CFG)
+    assert not bool(ok_bad)
+
+
+def test_measurement_update_reduces_uncertainty_and_error():
+    """EKF sanity: an update from a perturbed camera position should shrink
+    covariance and pull the state toward truth."""
+    state = _state_with_window(8)
+    point = np.array([0.5, -0.3, 4.0])
+    g = state.imu.g
+    sigma2 = CFG.u_var_prime
+
+    # True camera 3 is shifted; observations generated from the TRUE window.
+    dp_true = np.array([0.01, -0.008, 0.005])
+    true_window = state.window.replace(
+        p_C_G=state.window.p_C_G.at[3].add(jnp.asarray(dp_true))
+    )
+    true_state = state.replace(window=true_window)
+    obs, mask = _observe(true_state, point, 8)
+
+    H_o, r_o, rv = upd.track_projected_rows(
+        obs, mask, jnp.asarray(point), state.window, g, CFG
+    )
+    S = CFG.shapes.max_staged
+    H_all = jnp.tile(H_o[None], (S, 1, 1)) * 0
+    r_all = jnp.tile(r_o[None], (S, 1)) * 0
+    masks = jnp.zeros((S, H_o.shape[0]), bool)
+    H_all = H_all.at[0].set(H_o)
+    r_all = r_all.at[0].set(r_o)
+    masks = masks.at[0].set(rv)
+
+    H, r, dropped = upd.stack_rows(H_all, r_all, masks, CFG)
+    assert int(dropped) == 0
+
+    before_err = float(jnp.linalg.norm(true_window.p_C_G[3] - state.window.p_C_G[3]))
+    before_tr = float(jnp.trace(state.P))
+    new_state = upd.measurement_update(state, H, r, sigma2, CFG)
+    after_err = float(jnp.linalg.norm(true_window.p_C_G[3] - new_state.window.p_C_G[3]))
+    after_tr = float(jnp.trace(new_state.P))
+
+    assert after_tr < before_tr
+    assert after_err < before_err
+    P = np.asarray(new_state.P)
+    np.testing.assert_allclose(P, P.T, atol=1e-12)
+    Dv = 15 + 6 * 8
+    assert np.all(np.linalg.eigvalsh(P[:Dv, :Dv]) > -1e-12)
+    # invalid dims untouched (zero)
+    assert np.all(P[Dv:, :] == 0)
+
+
+def test_marginalize_end_to_end_improves_state():
+    """Full marginalize: stage one track observed by a slightly-wrong window."""
+    state = _state_with_window(10, seed=5)
+    point = np.array([0.4, 0.2, 5.0])
+    # truth = current window; inject error into the ESTIMATED window
+    obs, mask = _observe(state, point, 10)
+    dp_err = np.array([0.004, 0.003, -0.002])
+    est_window = state.window.replace(
+        p_C_G=state.window.p_C_G.at[4].add(jnp.asarray(dp_err))
+    )
+    est_state = state.replace(window=est_window, num_residualized=jnp.asarray(10, jnp.int32))
+
+    S = CFG.shapes.max_staged
+    staged = StagedTracks(
+        obs=jnp.zeros((S, N, 2), state.P.dtype).at[0].set(obs),
+        obs_mask=jnp.zeros((S, N), bool).at[0].set(mask),
+        feature_id=jnp.full((S,), -1, jnp.int32).at[0].set(7),
+        valid=jnp.zeros((S,), bool).at[0].set(True),
+    )
+
+    before = float(jnp.linalg.norm(est_state.window.p_C_G[4] - state.window.p_C_G[4]))
+    out = upd.marginalize(est_state, staged, CFG)
+    after = float(jnp.linalg.norm(out.window.p_C_G[4] - state.window.p_C_G[4]))
+    assert int(out.num_residualized) == 11
+    assert bool(out.map_mask[0])
+    # triangulated point close to truth
+    np.testing.assert_allclose(np.asarray(out.map_pts[0]), point, atol=0.05)
+    assert after < before
+
+
+def test_marginalize_empty_staged_is_noop_on_state():
+    state = _state_with_window(6, seed=2)
+    S = CFG.shapes.max_staged
+    staged = StagedTracks(
+        obs=jnp.zeros((S, N, 2), state.P.dtype),
+        obs_mask=jnp.zeros((S, N), bool),
+        feature_id=jnp.full((S,), -1, jnp.int32),
+        valid=jnp.zeros((S,), bool),
+    )
+    out = upd.marginalize(state, staged, CFG)
+    np.testing.assert_allclose(np.asarray(out.P), np.asarray(state.P), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(out.window.p_C_G), np.asarray(state.window.p_C_G), atol=1e-12
+    )
+    assert int(out.num_residualized) == 0
