@@ -77,6 +77,16 @@ def _integrate_rk5_np(q, omega, dt):
 
 
 @dataclasses.dataclass
+class SyntheticWorld:
+    """Full world state for image rendering / re-projection."""
+
+    landmarks: np.ndarray   # (L, 3)
+    q_seq: np.ndarray       # (n_imu+1, 4) full-rate attitude
+    p_seq: np.ndarray       # (n_imu+1, 3)
+    frame_idx: np.ndarray   # (T,) indices into the full-rate arrays
+
+
+@dataclasses.dataclass
 class SyntheticSequence:
     # packed frame inputs (numpy, host side)
     imu_omega: np.ndarray   # (T, K, 3)
@@ -112,6 +122,7 @@ def generate(
     n_landmarks: int = 800,
     traj_radius: float = 5.0,
     traj_omega: float = 0.35,       # rad/s around the loop
+    return_world: bool = False,
 ) -> SyntheticSequence:
     """A loop trajectory inside a cylinder of landmarks, EuRoC-like rates."""
     rng = np.random.default_rng(seed)
@@ -241,7 +252,7 @@ def generate(
         lm_active[cont_idx] = True
         lm_active[new_idx] = True
 
-    return SyntheticSequence(
+    seq = SyntheticSequence(
         imu_omega=gyro_meas.reshape(n_frames, K, 3),
         imu_acc=acc_meas.reshape(n_frames, K, 3),
         imu_dt=np.full((n_frames, K), dt),
@@ -259,6 +270,12 @@ def generate(
         b_a=b_a,
         imu_gt_p=p_seq[1:],
     )
+    if return_world:
+        world = SyntheticWorld(
+            landmarks=landmarks, q_seq=q_seq, p_seq=p_seq, frame_idx=frame_idx
+        )
+        return seq, world
+    return seq
 
 
 def to_frame_inputs(seq: SyntheticSequence, dtype=None):

@@ -95,7 +95,12 @@ class TrackHandler:
         if self.n_gyro == 0:
             self.dR = jnp.eye(3, dtype=self.dtype)
             return
-        rvec = self.gyro_accum / self.n_gyro * dt
+        # For camera angular velocity ω expressed in the camera frame, points
+        # move by R_c2<-c1 = exp(-[ω·dt]x). (The reference feeds the gyro
+        # through q_CI.inverse() and uses +ω — asl_msckf.cpp:235,
+        # corner_detector.cpp:220-244 — which mis-frames the prediction; KLT's
+        # large window hides it there. We use the correct sign/frame.)
+        rvec = -self.gyro_accum / self.n_gyro * dt
         angle = np.linalg.norm(rvec)
         if angle < 1e-12:
             self.dR = jnp.eye(3, dtype=self.dtype)
