@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Offline EuRoC/ASL runner: dataset -> front-end -> filter -> ATE.
+
+The equivalent of /root/reference/datasets/asl_msckf.cpp (ground-truth-seeded
+init, asl_msckf.cpp:141-159) and asl_msckf_no_ground_truth.cpp (standstill
+self-calibration) in one CLI. No ROS: images stream through the jnp front-end,
+the filter runs as one jitted step per frame, and evaluation is quantitative
+(ATE/drift) instead of an RViz overlay.
+
+Usage:
+  python -m msckf_mono_tpu.cli.run_euroc --data /path/to/MH_03_medium/mav0 \
+      --stand-still-end 1403637129.5 [--max-frames 500] [--init standstill]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True, help=".../<sequence>/mav0")
+    ap.add_argument("--stand-still-end", type=float, default=None,
+                    help="end of the standstill window, seconds (unix epoch)")
+    ap.add_argument("--init", choices=["gt", "standstill"], default="gt")
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from msckf_mono_tpu.core import filter as msckf_filter
+    from msckf_mono_tpu.core.filter import FrameInput
+    from msckf_mono_tpu.core.init import ground_truth_init, standstill_init
+    from msckf_mono_tpu.core.types import init_filter_state
+    from msckf_mono_tpu.data import asl, sync
+    from msckf_mono_tpu.eval.ate import ate_rmse, final_drift
+    from msckf_mono_tpu.frontend.track_handler import TrackHandler
+    from msckf_mono_tpu.utils import quat as quat_ops
+    from msckf_mono_tpu.utils.config import CameraConfig, MsckfConfig
+
+    dtype = jnp.float32
+    seq = asl.read_sequence(args.data)
+    cam = seq.cam
+
+    # camera config from the dataset calibration (ros_interface.cpp:250-274)
+    cfg = MsckfConfig(
+        camera=CameraConfig(
+            f_u=float(cam.K[0, 0]), f_v=float(cam.K[1, 1]),
+            c_u=float(cam.K[0, 2]), c_v=float(cam.K[1, 2]),
+            q_CI=tuple(cam.q_BS), p_C_I=tuple(cam.p_BS),
+            width=cam.width, height=cam.height,
+            distortion_model=cam.distortion_model,
+            distortion_coeffs=tuple(cam.distortion_coeffs),
+        )
+    )
+
+    ss_end_ns = int(args.stand_still_end * 1e9) if args.stand_still_end else (
+        int(seq.imu.timestamps[0]) + 2_000_000_000
+    )
+
+    # --- init (asl_msckf.cpp:141-159 / asl_msckf_no_ground_truth.cpp:141-173) ---
+    if args.init == "gt" and seq.gt is not None:
+        gi = sync.closest_gt_index(seq.gt.timestamps, ss_end_ns)
+        imu0 = ground_truth_init(
+            p_I_G=seq.gt.p[gi], q_IG=seq.gt.q[gi], v_I_G=seq.gt.v[gi],
+            b_g=seq.gt.b_g[gi], b_a=seq.gt.b_a[gi], dtype=dtype,
+        )
+    else:
+        mask = seq.imu.timestamps < ss_end_ns
+        imu0 = standstill_init(seq.imu.omega[mask], seq.imu.acc[mask], dtype=dtype)
+
+    # --- pack sensors ---
+    frame_ts = sync.select_frames(seq, start_time_ns=ss_end_ns, max_frames=args.max_frames)
+    frame_index_offset = int(np.searchsorted(cam.timestamps, frame_ts[0]))
+    packed = sync.bucket_imu(
+        seq.imu.timestamps, seq.imu.omega, seq.imu.acc, seq.imu.dT,
+        frame_ts, cfg.shapes.imu_per_frame, start_ts=ss_end_ns,
+    )
+    if packed.dropped:
+        print(f"warning: {packed.dropped} IMU samples over the per-frame budget", file=sys.stderr)
+
+    th = TrackHandler(
+        cam.K, cam.distortion_coeffs, cam.distortion_model,
+        n_grid_rows=10, n_grid_cols=10, max_features=100,
+        window_size=31, max_level=4,
+    )
+
+    state = init_filter_state(cfg, imu0, dtype=dtype)
+    step = jax.jit(lambda s, f: msckf_filter.step(s, f, cfg))
+    F = cfg.shapes.max_features_per_frame
+    q_CI = jnp.asarray(cfg.camera.q_CI, dtype)
+
+    def budget(uv, ids, valid):
+        order = jnp.argsort(jnp.logical_not(valid), stable=True)[:F]
+        return uv[order].astype(dtype), ids[order].astype(jnp.int32), valid[order]
+
+    est = []
+    t_start = time.perf_counter()
+    b_g_est = np.asarray(imu0.b_g)
+    for i, ts in enumerate(frame_ts):
+        img = cam.read_image(frame_index_offset + i)
+
+        for k in range(cfg.shapes.imu_per_frame):
+            if packed.dt[i, k] > 0:
+                w_imu = jnp.asarray(packed.omega[i, k] - b_g_est, dtype)
+                th.add_gyro_reading(np.asarray(quat_ops.rotate(q_CI, w_imu)))
+
+        th.set_current_image(img, ts / 1e9)
+        t_uv, t_ids, t_valid = th.tracked_features()
+        n_uv, n_ids, n_valid = th.new_features()
+        tb, nb = budget(t_uv, t_ids, t_valid), budget(n_uv, n_ids, n_valid)
+
+        frame = FrameInput(
+            imu_omega=jnp.asarray(packed.omega[i], dtype),
+            imu_acc=jnp.asarray(packed.acc[i], dtype),
+            imu_dt=jnp.asarray(packed.dt[i], dtype),
+            tracked_uv=tb[0], tracked_ids=tb[1], tracked_valid=tb[2],
+            new_uv=nb[0], new_ids=nb[1], new_valid=nb[2],
+            state_id=jnp.asarray(i + 1, jnp.int32),
+            time=jnp.asarray(ts / 1e9, dtype),
+            frame_valid=jnp.asarray(True),
+        )
+        state, out = step(state, frame)
+        est.append(np.asarray(out.p_I_G))
+        b_g_est = np.asarray(state.imu.b_g)
+        if i % 100 == 0:
+            print(f"frame {i}/{len(frame_ts)}", file=sys.stderr)
+
+    wall = time.perf_counter() - t_start
+    est = np.asarray(est)
+
+    report = {"frames": len(frame_ts), "wall_s": round(wall, 2),
+              "fps": round(len(frame_ts) / wall, 2)}
+    if seq.gt is not None:
+        gt_p, _, _ = sync.gt_at_frames(seq.gt, frame_ts)
+        report["ate_rmse"] = ate_rmse(est, gt_p)
+        report["final_drift"] = final_drift(est, gt_p)
+    print(json.dumps(report, indent=2))
+
+    if args.out:
+        np.savez(args.out, est=est, time=frame_ts / 1e9)
+
+
+if __name__ == "__main__":
+    main()
