@@ -64,9 +64,19 @@ class AslCamera:
         return 1.0 / self.rate_hz
 
     def read_image(self, i: int) -> np.ndarray:
-        from PIL import Image
+        from msckf_mono_tpu.data import native_loader
 
-        return np.asarray(Image.open(self.image_files[i]).convert("L"), np.float32)
+        return native_loader.imread_gray(self.image_files[i]).astype(np.float32)
+
+    def prefetcher(self, n_threads: int = 4, lookahead: int = 16):
+        """Threaded decode-ahead image pipeline (native/loader.cpp); decode
+        overlaps with device execution. Falls back to sync PIL decode."""
+        from msckf_mono_tpu.data import native_loader
+
+        return native_loader.ImagePrefetcher(
+            self.image_files, self.width, self.height,
+            n_threads=n_threads, lookahead=lookahead,
+        )
 
 
 def read_camera(folder: str) -> AslCamera:
@@ -118,20 +128,16 @@ class AslImu:
 
 
 def read_imu(folder: str) -> AslImu:
+    from msckf_mono_tpu.data import native_loader
+
     cfg = _load_yaml(os.path.join(folder, "sensor.yaml"))
-    ts, om, ac = [], [], []
-    with open(os.path.join(folder, "data.csv")) as f:
-        for row in csv.reader(f):
-            if not row or row[0].startswith("#"):
-                continue
-            vals = [float(x) for x in row[1:7]]
-            ts.append(int(row[0]))
-            om.append(vals[0:3])
-            ac.append(vals[3:6])
+    path = os.path.join(folder, "data.csv")
+    vals = native_loader.parse_csv(path, 7)          # ts wx wy wz ax ay az
+    ts = native_loader.parse_csv_i64_col(path, 0)    # exact int64 ns
     return AslImu(
-        timestamps=np.asarray(ts, np.int64),
-        omega=np.asarray(om, float),
-        acc=np.asarray(ac, float),
+        timestamps=ts,
+        omega=vals[:, 1:4],
+        acc=vals[:, 4:7],
         dT=1.0 / float(cfg["rate_hz"]),
         gyroscope_noise_density=float(cfg.get("gyroscope_noise_density", 0.0)),
         gyroscope_random_walk=float(cfg.get("gyroscope_random_walk", 0.0)),
@@ -151,21 +157,16 @@ class AslGroundTruth:
 
 
 def read_ground_truth(folder: str) -> AslGroundTruth:
-    ts, ps, qs, vs, bgs, bas = [], [], [], [], [], []
-    with open(os.path.join(folder, "data.csv")) as f:
-        for row in csv.reader(f):
-            if not row or row[0].startswith("#"):
-                continue
-            vals = [float(x) for x in row[1:17]]
-            ts.append(int(row[0]))
-            ps.append(vals[0:3])
-            qs.append(vals[3:7])     # w,x,y,z
-            vs.append(vals[7:10])
-            bgs.append(vals[10:13])
-            bas.append(vals[13:16])
+    from msckf_mono_tpu.data import native_loader
 
-    q = np.asarray(qs, float)
-    v = np.asarray(vs, float)
+    path = os.path.join(folder, "data.csv")
+    vals = native_loader.parse_csv(path, 17)
+    ts = native_loader.parse_csv_i64_col(path, 0)
+    ps = vals[:, 1:4]
+    q = vals[:, 4:8]    # w,x,y,z
+    v = vals[:, 8:11]
+    bgs = vals[:, 11:14]
+    bas = vals[:, 14:17]
     # filter convention: v <- q*v (rotate into IMU frame), q <- q^-1
     # (asl_readers.cpp:335-336)
     from scipy.spatial.transform import Rotation
@@ -175,12 +176,12 @@ def read_ground_truth(folder: str) -> AslGroundTruth:
     q_inv = np.concatenate([q[:, :1], -q[:, 1:]], axis=1)
 
     return AslGroundTruth(
-        timestamps=np.asarray(ts, np.int64),
-        p=np.asarray(ps, float),
+        timestamps=ts,
+        p=ps,
         q=q_inv,
         v=v_rot,
-        b_g=np.asarray(bgs, float),
-        b_a=np.asarray(bas, float),
+        b_g=bgs,
+        b_a=bas,
     )
 
 

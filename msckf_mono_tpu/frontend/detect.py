@@ -126,6 +126,12 @@ def shi_tomasi_score(img, halfbox: int = 15):
     return jnp.where(interior, score, 0.0)
 
 
+def _use_pallas_default() -> bool:
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def detect_features(
     img,
     occupied_cells,
@@ -133,19 +139,29 @@ def detect_features(
     n_cols: int = 10,
     fast_threshold: float = 20.0,
     detection_threshold: float = 40.0,
+    use_pallas: bool | None = None,
 ):
     """Full detection pipeline. Returns (xy (C,2), score (C,), valid (C,)) with
     C = n_rows*n_cols grid cells — at most one new corner per unoccupied cell.
 
     img: (H, W) float; occupied_cells: (C,) bool from current features.
+    ``use_pallas`` selects the VMEM-resident FAST+NMS kernel
+    (ops/fast_pallas.py); defaults to on for the TPU backend.
     """
     H, W = img.shape
     grid_h = H // n_rows + 1
     grid_w = W // n_cols + 1
     n_cells = n_rows * n_cols
 
-    mask, fscore = fast_score_10(img, fast_threshold)
-    nms = nonmax_3x3(fscore, mask)
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    if use_pallas:
+        from msckf_mono_tpu.ops import fast_pallas
+
+        nms = fast_pallas.fast_nms_score(img, fast_threshold) > 0
+    else:
+        mask, fscore = fast_score_10(img, fast_threshold)
+        nms = nonmax_3x3(fscore, mask)
     st = shi_tomasi_score(img)
 
     yy = jnp.arange(H)[:, None]

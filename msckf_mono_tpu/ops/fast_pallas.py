@@ -1,0 +1,152 @@
+"""Pallas TPU kernel: FAST-10 corner score + 3x3 non-max suppression.
+
+The VMEM-resident replacement for the jnp whole-image FAST path
+(frontend/detect.py, itself the re-design of the reference's libfast SSE2
+detector, /root/reference/src/corner_detector.cpp:91-134 + uzh-rpg/fast).
+
+Why a kernel: the jnp formulation materializes a (16, H, W) circle stack and
+16 arc-minima stacks — every op a round-trip through HBM. Here each grid
+program DMAs one row-slab of the image into VMEM once, computes the 16
+circle differences and the 16 length-10 arc minima by *slicing the slab in
+place* (zero extra buffers beyond two accumulators), applies the segment
+test, and writes back a single (TILE_H, W) nms-suppressed score block. HBM
+traffic drops from ~50 arrays to exactly one image read + one score write.
+
+Contract (matches detect.fast_score_10 + detect.nonmax_3x3 composed):
+    out[y, x] = FAST-10 score   if score > threshold and (y,x) is the
+                                 >=-max of its 3x3 masked neighborhood
+                0               otherwise
+Scores on the 3px image border are 0 (reference: FAST is undefined there).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from msckf_mono_tpu.frontend.detect import FAST_OFFSETS
+
+HALO = 4  # 3px circle radius + 1px NMS ring
+LANE = 128
+
+
+def _fast_nms_kernel(img_ref, out_ref, slab, sem, *, threshold, tile_h, W_true, H_true):
+    """One program: rows [i*tile_h - HALO, i*tile_h + tile_h + HALO) -> scores."""
+    i = pl.program_id(0)
+    H_pad = img_ref.shape[0]
+    slab_h = tile_h + 2 * HALO
+
+    start = jnp.clip(i * tile_h - HALO, 0, H_pad - slab_h)
+    off = i * tile_h - start  # output row 0 within the slab
+
+    # one HBM -> VMEM DMA of the slab
+    dma = pltpu.make_async_copy(img_ref.at[pl.ds(start, slab_h)], slab, sem)
+    dma.start()
+    dma.wait()
+
+    Wp = slab.shape[1]
+    # score region: every slab row/col whose 3px circle fits in the slab.
+    # rows [1, slab_h-1) x full width is enough: we only consume scores at
+    # rows [off-1, off+tile_h+1) and off >= HALO-... (clamped tiles include
+    # their own halo), and circle rows reach +-3 <= HALO-1 inside the slab.
+    sh = slab_h - 2 * (HALO - 1)  # rows with full circle + NMS support
+    r0 = HALO - 1
+
+    center = slab[pl.ds(r0, sh), :]
+    big = jnp.float32(1e9)
+
+    # circle differences d_j, each produced by slicing the slab; arc minima
+    # computed with two running accumulators (no 16-slab stack).
+    def diff(j):
+        dx, dy = FAST_OFFSETS[j]
+        # column shift: slide the lane axis with pltpu.roll (wraps; wrapped
+        # columns land outside the valid interior and are masked later).
+        shifted = slab[pl.ds(r0 + dy, sh), :]
+        if dx != 0:
+            shifted = pltpu.roll(shifted, (-dx) % Wp, 1)
+        return shifted - center
+
+    score_b = jnp.full_like(center, -big)
+    score_d = jnp.full_like(center, -big)
+    for k in range(16):
+        arc_b = None
+        arc_d = None
+        for j in range(k, k + 10):
+            d = diff(j % 16)
+            arc_b = d if arc_b is None else jnp.minimum(arc_b, d)
+            arc_d = (-d) if arc_d is None else jnp.minimum(arc_d, -d)
+        score_b = jnp.maximum(score_b, arc_b)
+        score_d = jnp.maximum(score_d, arc_d)
+    score = jnp.maximum(score_b, score_d)
+
+    # interior mask in GLOBAL coordinates (3px border invalid)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (sh, Wp), 0) + start + r0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (sh, Wp), 1)
+    interior = (
+        (rows >= 3) & (rows < H_true - 3) & (cols >= 3) & (cols < W_true - 3)
+    )
+    s = jnp.where(interior & (score > threshold), score, -big)
+
+    # 3x3 NMS on the masked score (matches detect.nonmax_3x3: keep >= max of
+    # masked neighbors). Consume rows [off-1+..]: local output rows in s are
+    # off - r0 + [0, tile_h).
+    # pad so slicing stays in range even for edge tiles whose halo was
+    # clamped: s_pad row r corresponds to slab row r - (r0 + 1), rows outside
+    # the computed region are -big (never corners).
+    pad = jnp.full((r0 + 1, Wp), -big)
+    s_pad = jnp.concatenate([pad, s, pad], axis=0)
+    # output row 0 = slab row `off` = s_pad row off + 1; NMS needs -1: start at
+    # (off + 1) - 1 = off >= 0 always.
+    sc = jax.lax.dynamic_slice(
+        s_pad, (off, jnp.zeros((), off.dtype)), (tile_h + 2, Wp)
+    )
+    neigh = jnp.full((tile_h, Wp), -big)
+    for dy in (0, 1, 2):
+        for dx in (-1, 0, 1):
+            n = jax.lax.dynamic_slice(sc, (jnp.int32(dy), jnp.int32(0)), (tile_h, Wp))
+            if dx != 0:
+                n = pltpu.roll(n, (-dx) % Wp, 1)
+            if dy == 1 and dx == 0:
+                continue
+            neigh = jnp.maximum(neigh, n)
+    mine = jax.lax.dynamic_slice(sc, (jnp.int32(1), jnp.int32(0)), (tile_h, Wp))
+    keep = (mine > -big) & (mine >= neigh)
+    out_ref[:, :] = jnp.where(keep, mine, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "tile_h", "interpret"))
+def fast_nms_score(img, threshold: float = 20.0, tile_h: int = 120, interpret: bool = False):
+    """(H, W) image -> (H, W) NMS-suppressed FAST-10 score (0 = not a corner)."""
+    H, W = img.shape
+    Wp = -(-W // LANE) * LANE
+    n_tiles = -(-H // tile_h)
+    H_pad = max(n_tiles * tile_h, tile_h + 2 * HALO)
+    img_p = jnp.zeros((H_pad, Wp), jnp.float32)
+    img_p = img_p.at[:H, :W].set(img.astype(jnp.float32))
+
+    kernel = functools.partial(
+        _fast_nms_kernel,
+        threshold=float(threshold),
+        tile_h=tile_h,
+        W_true=W,
+        H_true=H,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (tile_h, Wp), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((H_pad, Wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2 * HALO, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(img_p)
+    return out[:H, :W]
