@@ -11,10 +11,9 @@ Re-design of ``calcResidual`` / ``calcMeasJacobian`` / ``gatingTest`` /
   That makes per-track projected rows contiguous, so they can be compacted
   into a fixed global row budget.
 * The reference's Householder-QR "T_H" compression of the stacked Jacobian
-  (msckf.h:1343-1366) is replaced by Gram/Cholesky square-root compression:
-  T_H = chol(HᵀH)ᵀ and r_n = L⁻¹Hᵀr give the identical update (H = Q₁T_H up
-  to an orthogonal factor that cancels) while being matmul-dominated — the
-  shape XLA maps onto the MXU — instead of sequential Householder reflections.
+  with dynamic nonzero-row dropping (msckf.h:1343-1366) becomes a fixed-shape
+  reduced QR with zero-row *masking* (see :func:`compress_rows`) — identical
+  update, static shapes.
 * Measurement noise is treated as isotropic σ² = u_var_prime, matching the
   gating test exactly (msckf.h:1114) and the update to ~(u_var'/v_var'-1)
   relative error (u_var' and v_var' differ by <1% on EuRoC). Documented

@@ -43,7 +43,7 @@ def build_pyramid(img, levels: int):
     pyr = [img]
     for _ in range(levels):
         pyr.append(_pyr_down(pyr[-1]))
-    return pyr
+    return tuple(pyr)
 
 
 def _bilinear(img, y, x):
@@ -137,9 +137,30 @@ def track_features(
     4 levels, 30 iters, eps 1.0 (corner_detector.cpp:206); window default here
     is 31 for TPU cost — pass 51 for strict parity.
     """
-    half = window_size // 2
     pyr_prev = build_pyramid(img_prev, max_level)
     pyr_cur = build_pyramid(img_cur, max_level)
+    return track_features_pyr(
+        pyr_prev, pyr_cur, pts_prev, pts_pred, valid,
+        window_size=window_size, max_iters=max_iters, eps=eps,
+        min_eigen_threshold=min_eigen_threshold,
+    )
+
+
+def track_features_pyr(
+    pyr_prev,
+    pyr_cur,
+    pts_prev,
+    pts_pred,
+    valid,
+    window_size: int = 31,
+    max_iters: int = 30,
+    eps: float = 1.0,
+    min_eigen_threshold: float = 1e-5,
+):
+    """Pyramid-input variant (pyramids as tuples of (H/2^l, W/2^l) arrays) —
+    lets scanned/functional callers reuse the previous frame's pyramid."""
+    half = window_size // 2
+    max_level = len(pyr_prev) - 1
 
     scale_top = 2.0**max_level
     pts_p = pts_prev / scale_top
@@ -158,7 +179,7 @@ def track_features(
         if lvl == 0:
             status = status & good
 
-    H, W = img_cur.shape
+    H, W = pyr_cur[0].shape
     in_img = (
         (pts_c[:, 0] >= 0) & (pts_c[:, 0] <= W) & (pts_c[:, 1] >= 0) & (pts_c[:, 1] <= H)
     )
