@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--frames", type=int, default=200)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--chunk", type=int, default=50,
+                    help="frames per device call (shorter programs are kinder "
+                         "to the tunneled TPU; 0 = whole sequence in one call)")
     ap.add_argument("--platform", default=None, help="force jax platform (cpu/tpu)")
     ap.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--timeout", type=int, default=900,
@@ -77,17 +80,32 @@ def main():
     fleet_run = sharding.make_sharded_run(cfg, mesh)
     states = sharding.shard_batch(states, mesh)
 
-    log("compiling...")
+    chunk = args.chunk if args.chunk > 0 else args.frames
+    n_chunks = args.frames // chunk
+    assert n_chunks * chunk == args.frames, "--frames must be divisible by --chunk"
+    chunks = [
+        jax.tree_util.tree_map(lambda x: x[c * chunk : (c + 1) * chunk], batch_frames)
+        for c in range(n_chunks)
+    ]
+
+    def run_all(states):
+        outs_list = []
+        metrics = None
+        for cf in chunks:
+            states, outs, metrics = fleet_run(states, cf)
+            outs_list.append(outs.p_I_G[:, 0])  # filter-0 trajectory, on device
+        jax.block_until_ready(states.P)
+        return states, outs_list, metrics
+
+    log(f"compiling... ({n_chunks} chunk(s) of {chunk} frames)")
     t0 = time.perf_counter()
-    final, outs, metrics = fleet_run(states, batch_frames)
-    jax.block_until_ready(final.P)
+    final, outs_list, metrics = run_all(states)
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
 
     times = []
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        final, outs, metrics = fleet_run(states, batch_frames)
-        jax.block_until_ready(final.P)
+        final, outs_list, metrics = run_all(states)
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
@@ -95,7 +113,7 @@ def main():
     rt_equiv = frame_steps_per_s / 20.0
 
     # accuracy sanity on filter 0
-    est = np.asarray(outs.p_I_G[:, 0])
+    est = np.concatenate([np.asarray(o) for o in outs_list])
     ate = ate_rmse(est, seq.gt_p)
     log(f"run time best of {args.reps}: {dt:.3f}s; ATE(filter0)={ate:.3f} m")
     log(f"metrics: { {k: float(v) for k, v in metrics.items()} }")

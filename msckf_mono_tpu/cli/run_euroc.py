@@ -28,6 +28,8 @@ def main(argv=None):
     ap.add_argument("--init", choices=["gt", "standstill"], default="gt")
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--finish", action="store_true",
+                    help="final residualization of all live tracks (msckf.h:765-807)")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args(argv)
 
@@ -108,8 +110,11 @@ def main(argv=None):
     est = []
     t_start = time.perf_counter()
     b_g_est = np.asarray(imu0.b_g)
+    # threaded decode-ahead (native/loader.cpp): image decode overlaps with
+    # the device step
+    prefetch = cam.prefetcher(n_threads=4, lookahead=16)
     for i, ts in enumerate(frame_ts):
-        img = cam.read_image(frame_index_offset + i)
+        img = prefetch.get(frame_index_offset + i).astype(np.float32)
 
         for k in range(cfg.shapes.imu_per_frame):
             if packed.dt[i, k] > 0:
@@ -136,6 +141,11 @@ def main(argv=None):
         b_g_est = np.asarray(state.imu.b_g)
         if i % 100 == 0:
             print(f"frame {i}/{len(frame_ts)}", file=sys.stderr)
+
+    prefetch.close()
+    if args.finish:
+        state = jax.jit(lambda s: msckf_filter.finish(s, cfg))(state)
+        est[-1] = np.asarray(state.imu.p_I_G)
 
     wall = time.perf_counter() - t_start
     est = np.asarray(est)

@@ -238,6 +238,12 @@ class VioInterface:
         mask = np.asarray(self.state.map_mask)
         return np.asarray(self.state.map_pts)[mask]
 
+    def finish(self):
+        """End-of-sequence: residualize every remaining track in one final
+        update (MSCKF::finish, reference msckf.h:765-807)."""
+        cfg = self.config
+        self.state = jax.jit(lambda s: msckf_filter.finish(s, cfg))(self.state)
+
     def track_overlay(self) -> np.ndarray:
         """RGB debug image with tracks drawn (ros_interface.cpp:145-155)."""
         if self.visualizer is None or getattr(self, "_last_image", None) is None:

@@ -76,6 +76,7 @@ def test_run_euroc_cli_end_to_end(written, tmp_path, capsys):
             "--cpu",
             "--init", "gt",
             "--stand-still-end", str(info["t0_ns"] / 1e9),
+            "--finish",
             "--out", out,
         ]
     )
