@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from msckf_mono_tpu.core.types import FilterState, StagedTracks
 from msckf_mono_tpu.core import triangulate
+from msckf_mono_tpu.ops.linalg import null_project_3
 from msckf_mono_tpu.utils import quat
 from msckf_mono_tpu.utils.chi2 import chi2_gate_table
 from msckf_mono_tpu.utils.config import MsckfConfig
@@ -109,12 +110,13 @@ def track_projected_rows(obs, obs_mask, p_f_G, window, g, config: MsckfConfig):
     H_f_rows = H_f.reshape(2 * N, 3)
     r_rows = r.reshape(2 * N)
 
-    # Left-nullspace projection via complete QR (replaces full-U SVD,
-    # msckf.h:954-957 — any orthonormal basis gives the identical update).
-    Q, _ = jnp.linalg.qr(H_f_rows, mode="complete")       # (2N, 2N)
-    A_null = Q[:, 3:]                                     # (2N, 2N-3)
-    H_o = A_null.T @ H_x                                  # (2N-3, D)
-    r_o = A_null.T @ r_rows                               # (2N-3,)
+    # Left-nullspace projection via three explicit Householder reflectors on
+    # [H_x | r] (replaces full-U SVD, msckf.h:954-957 — any orthonormal basis
+    # gives the identical update; see ops/linalg.null_project_3).
+    Xr = jnp.concatenate([H_x, r_rows[:, None]], axis=1)  # (2N, D+1)
+    proj = null_project_3(H_f_rows, Xr)                   # (2N-3, D+1)
+    H_o = proj[:, :D]
+    r_o = proj[:, D]
 
     rows_valid = jnp.arange(2 * N - 3) < jnp.maximum(2 * m - 3, 0)
     H_o = H_o * rows_valid[:, None]

@@ -118,7 +118,10 @@ def _track_level(img_prev, img_cur, pts_prev, pts_cur, valid, half, iters, eps, 
     return jax.vmap(one)(pts_prev, pts_cur, valid)
 
 
-@partial(jax.jit, static_argnames=("window_size", "max_level", "max_iters"))
+@partial(
+    jax.jit,
+    static_argnames=("window_size", "max_level", "max_iters", "use_pallas"),
+)
 def track_features(
     img_prev,
     img_cur,
@@ -130,6 +133,7 @@ def track_features(
     max_iters: int = 30,
     eps: float = 1.0,
     min_eigen_threshold: float = 1e-5,
+    use_pallas: bool | None = None,
 ):
     """Track (F,2) points from img_prev to img_cur starting at pts_pred.
 
@@ -142,8 +146,12 @@ def track_features(
     return track_features_pyr(
         pyr_prev, pyr_cur, pts_prev, pts_pred, valid,
         window_size=window_size, max_iters=max_iters, eps=eps,
-        min_eigen_threshold=min_eigen_threshold,
+        min_eigen_threshold=min_eigen_threshold, use_pallas=use_pallas,
     )
+
+
+def _use_pallas_default() -> bool:
+    return jax.default_backend() == "tpu"
 
 
 def track_features_pyr(
@@ -156,11 +164,33 @@ def track_features_pyr(
     max_iters: int = 30,
     eps: float = 1.0,
     min_eigen_threshold: float = 1e-5,
+    use_pallas: bool | None = None,
 ):
     """Pyramid-input variant (pyramids as tuples of (H/2^l, W/2^l) arrays) —
-    lets scanned/functional callers reuse the previous frame's pyramid."""
+    lets scanned/functional callers reuse the previous frame's pyramid.
+
+    ``use_pallas`` selects the VMEM-resident matmul-sampling LK kernel
+    (ops/klt_pallas.py); defaults to on for the TPU backend, where the jnp
+    path's per-pixel window gathers are pathological.
+    """
     half = window_size // 2
     max_level = len(pyr_prev) - 1
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    if use_pallas:
+        from msckf_mono_tpu.ops import klt_pallas
+
+        def level_fn(ip, ic, pp, pc, st):
+            return klt_pallas.track_level(
+                ip, ic, pp, pc, st,
+                window_size=window_size, max_iters=max_iters,
+                eps=eps, min_eigen_threshold=min_eigen_threshold,
+            )
+    else:
+        def level_fn(ip, ic, pp, pc, st):
+            return _track_level(
+                ip, ic, pp, pc, st, half, max_iters, eps, min_eigen_threshold
+            )
 
     scale_top = 2.0**max_level
     pts_p = pts_prev / scale_top
@@ -171,9 +201,8 @@ def track_features_pyr(
         if lvl != max_level:
             pts_p = pts_prev / (2.0**lvl)
             pts_c = pts_c * 2.0
-        pts_c, good = _track_level(
+        pts_c, good = level_fn(
             pyr_prev[lvl], pyr_cur[lvl], pts_p, pts_c, status,
-            half, max_iters, eps, min_eigen_threshold,
         )
         # cv keeps tracking through levels; status finalized at level 0
         if lvl == 0:

@@ -1,0 +1,191 @@
+"""Pallas TPU kernel: one pyramid level of Lucas-Kanade feature tracking.
+
+The TPU-native replacement for the gather-heavy jnp LK level
+(frontend/klt.py:_track_level, itself the re-design of the reference's
+cv::calcOpticalFlowPyrLK, /root/reference/src/corner_detector.cpp:136-194).
+
+Why a kernel, and why this shape: per feature and per iteration, LK needs a
+bilinearly-sampled (w, w) window at a fractional position. A jnp formulation
+is ~4 * w^2 independent image gathers per feature per iteration — the single
+worst op class for the TPU vector unit. But the window grid is *integer*
+offsets from one fractional center, so the whole window sample factors into
+
+    rows:  (1-fy) * img[by : by+TS, :]  +  fy * img[by+1 : by+1+TS, :]
+    cols:  rows @ Sx,   Sx[bx+c, c] = 1-fx,  Sx[bx+c+1, c] = fx
+
+i.e. one dynamic *sublane* slice pair plus one small MXU matmul with a
+banded column-interpolation matrix — no gathers at all. The image level
+lives in VMEM for the whole call (grid programs revisit the same block);
+each grid program tracks one feature through `max_iters` Gauss-Newton steps
+with a `lax.cond` early exit on convergence (eps, matching the reference's
+cv::TermCriteria eps=1.0, corner_detector.cpp:206).
+
+Geometry matches frontend/klt.py exactly for interior features: template
+gradients are central differences of bilinear samples (linear in the image,
+so identical to differencing a (w+2, w+2) sample grid), the 2x2 normal solve
+and min-eigenvalue gate reuse the same formulas. Border behavior differs
+only in clamping details (the jnp path clamps each sample; here the image is
+edge-replicated by `half+2` px and slice bases are clamped) — callers reject
+border/out-of-image features either way (corner_detector.cpp:176-193).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+COLS = 2 * LANE  # column slab per feature: window (<=128 wide) + slack
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _klt_level_kernel(
+    ptp_ref, ptc_ref, valid_ref,  # SMEM per-feature blocks
+    img_prev_ref, img_cur_ref,    # VMEM full padded level
+    out_pt_ref, out_good_ref,     # SMEM per-feature outputs
+    *,
+    half: int, ts: int, pad: int, max_iters: int, eps: float, min_eig_thr: float,
+):
+    w = 2 * half + 1
+    tw = w + 2  # sample grid: window + 1px gradient margin each side
+    Hp, Wp = img_prev_ref.shape
+    f32 = jnp.float32
+
+    rr = jax.lax.broadcasted_iota(jnp.int32, (COLS, LANE), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (COLS, LANE), 1)
+    wrow = jax.lax.broadcasted_iota(jnp.int32, (ts, LANE), 0)
+    wcol = jax.lax.broadcasted_iota(jnp.int32, (ts, LANE), 1)
+    # valid window cells: sample-grid interior (gradient margin stripped)
+    wm = ((wrow >= 1) & (wrow < 1 + w) & (wcol >= 1) & (wcol < 1 + w)).astype(f32)
+
+    def sample(img_ref, px, py):
+        """Bilinear (ts, LANE) sample grid with top-left at (p - half - 1)."""
+        bxf = px - f32(half + 1) + f32(pad)
+        byf = py - f32(half + 1) + f32(pad)
+        bx = jnp.clip(jnp.floor(bxf), 0, Wp - COLS - 1).astype(jnp.int32)
+        by = jnp.clip(jnp.floor(byf), 0, Hp - ts - 1).astype(jnp.int32)
+        fx = jnp.clip(bxf - bx.astype(f32), 0.0, 1.0)
+        fy = jnp.clip(byf - by.astype(f32), 0.0, 1.0)
+        # lane-aligned column slab containing [bx, bx + tw + 1)
+        tile = pl.multiple_of((bx // LANE) * LANE, LANE)
+        bxl = bx - tile
+        r0 = img_ref[pl.ds(by, ts), pl.ds(tile, COLS)]
+        r1 = img_ref[pl.ds(by + 1, ts), pl.ds(tile, COLS)]
+        rows = (1.0 - fy) * r0 + fy * r1                       # (ts, COLS)
+        sx = jnp.where(rr == bxl + cc, 1.0 - fx, 0.0) + jnp.where(
+            rr == bxl + cc + 1, fx, 0.0
+        )                                                       # (COLS, LANE)
+        return jnp.dot(rows, sx, preferred_element_type=f32)    # (ts, LANE)
+
+    px, py = ptp_ref[0, 0], ptp_ref[0, 1]
+    cx0, cy0 = ptc_ref[0, 0], ptc_ref[0, 1]
+
+    tpl = sample(img_prev_ref, px, py)
+    ix = 0.5 * (pltpu.roll(tpl, LANE - 1, 1) - pltpu.roll(tpl, 1, 1)) * wm
+    iy = 0.5 * (pltpu.roll(tpl, ts - 1, 0) - pltpu.roll(tpl, 1, 0)) * wm
+
+    gxx = jnp.sum(ix * ix)
+    gxy = jnp.sum(ix * iy)
+    gyy = jnp.sum(iy * iy)
+    win_n = f32(w * w)
+    tr = (gxx + gyy) / win_n
+    det = (gxx * gyy - gxy * gxy) / (win_n * win_n)
+    min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0)))
+    good = (valid_ref[0, 0] != 0) & (min_eig > f32(min_eig_thr))
+
+    det_g = gxx * gyy - gxy * gxy
+    det_g = jnp.where(jnp.abs(det_g) > 1e-12, det_g, 1e-12)
+
+    def gn_step(carry):
+        cx, cy, done = carry
+        cur = sample(img_cur_ref, cx, cy)
+        diff = (cur - tpl) * wm
+        bx_a = jnp.sum(diff * ix)
+        by_a = jnp.sum(diff * iy)
+        dx = -(gyy * bx_a - gxy * by_a) / det_g
+        dy = -(-gxy * bx_a + gxx * by_a) / det_g
+        done = done | (jnp.sqrt(dx * dx + dy * dy) < f32(eps))
+        return cx + dx, cy + dy, done
+
+    def body(_, carry):
+        return jax.lax.cond(carry[2], lambda c: c, gn_step, carry)
+
+    cx, cy, _ = jax.lax.fori_loop(
+        0, max_iters, body, (cx0, cy0, jnp.logical_not(good))
+    )
+
+    out_pt_ref[0, 0] = jnp.where(good, cx, cx0)
+    out_pt_ref[0, 1] = jnp.where(good, cy, cy0)
+    out_good_ref[0, 0] = good.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window_size", "max_iters", "eps", "min_eigen_threshold", "interpret"),
+)
+def track_level(
+    img_prev,
+    img_cur,
+    pts_prev,
+    pts_cur,
+    valid,
+    window_size: int = 31,
+    max_iters: int = 30,
+    eps: float = 1.0,
+    min_eigen_threshold: float = 1e-5,
+    interpret: bool = False,
+):
+    """One LK level for all features. Same contract as klt._track_level:
+    (pts_out (F,2), good (F,)) in the level's pixel coordinates."""
+    half = window_size // 2
+    ts = _round_up(2 * half + 4, 8)  # sample rows: tw + 1 interp row, padded
+    pad = half + 2
+    F = pts_prev.shape[0]
+    H, W = img_prev.shape
+
+    Hp = _round_up(H + 2 * pad, 8)
+    Wp = max(_round_up(W + 2 * pad, LANE), COLS + LANE)
+
+    def pad_img(img):
+        p = jnp.pad(img.astype(jnp.float32), ((pad, pad), (pad, pad)), mode="edge")
+        return jnp.pad(p, ((0, Hp - p.shape[0]), (0, Wp - p.shape[1])))
+
+    kernel = functools.partial(
+        _klt_level_kernel,
+        half=half, ts=ts, pad=pad, max_iters=max_iters,
+        eps=float(eps), min_eig_thr=float(min_eigen_threshold),
+    )
+    out_pt, out_good = pl.pallas_call(
+        kernel,
+        grid=(F,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((Hp, Wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hp, Wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((F, 2), jnp.float32),
+            jax.ShapeDtypeStruct((F, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(
+        pts_prev.astype(jnp.float32),
+        pts_cur.astype(jnp.float32),
+        valid.astype(jnp.int32)[:, None],
+        pad_img(img_prev),
+        pad_img(img_cur),
+    )
+    return out_pt, out_good[:, 0] != 0

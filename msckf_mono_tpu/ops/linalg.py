@@ -40,3 +40,33 @@ def solve3x3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     x1 = (c01 * b0 + c11 * b1 + c21 * b2) / det
     x2 = (c02 * b0 + c12 * b1 + c22 * b2) / det
     return jnp.stack([x0, x1, x2], axis=-1)
+
+
+def null_project_3(H_f: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
+    """Rows 3: of QᵀX, where Q is the complete-QR basis of H_f (n, 3).
+
+    The left-nullspace projection A_nullᵀX (A_null = Q[:, 3:]) without forming
+    Q: three explicit Householder reflectors applied to X as rank-1 updates —
+    pure VPU/outer-product work instead of a batched (n, n) QR custom call
+    (replaces the SVD of msckf.h:954-957; any orthonormal nullspace basis
+    yields the identical EKF update).
+
+    Exact-zero rows of H_f produce zero reflector entries, so the matching
+    rows of X are untouched — this preserves the row-compaction invariant
+    track_projected_rows relies on (valid rows first, zeros after).
+    """
+    n = H_f.shape[0]
+    dtype = X.dtype
+    M = H_f.astype(dtype)
+    idx = jnp.arange(n)
+    for j in range(3):
+        x = jnp.where(idx >= j, M[:, j], 0.0)
+        xj = x[j]
+        nrm = jnp.sqrt(jnp.sum(x * x))
+        alpha = -jnp.where(xj >= 0, 1.0, -1.0) * nrm
+        v = x - alpha * (idx == j)
+        vtv = jnp.sum(v * v)
+        scale = jnp.where(vtv > 1e-30, 2.0 / vtv, 0.0)
+        M = M - scale * jnp.outer(v, v @ M)
+        X = X - scale * jnp.outer(v, v @ X)
+    return X[3:]
