@@ -94,7 +94,12 @@ def main():
         for cf in chunks:
             states, outs, metrics = fleet_run(states, cf)
             outs_list.append(outs.p_I_G[:, 0])  # filter-0 trajectory, on device
-        jax.block_until_ready(states.P)
+        # Force a real host transfer: on the tunneled TPU, block_until_ready
+        # can return before execution completes, and execution faults only
+        # surface at transfer time — a tiny device_get both synchronizes the
+        # whole chunk chain (q_IG depends on every chunk) and surfaces faults
+        # inside the watchdog window.
+        np.asarray(jax.device_get(states.q_IG[:1]))
         return states, outs_list, metrics
 
     log(f"compiling... ({n_chunks} chunk(s) of {chunk} frames)")
@@ -146,8 +151,8 @@ def _supervise(args):
     """
     attempts = [
         (args.platform, args.batch, args.frames, args.timeout),
-        (args.platform, args.batch, args.frames, args.timeout),
-        ("cpu", min(args.batch, 64), min(args.frames, 100), args.timeout),
+        (args.platform, max(args.batch // 4, 8), max(args.frames // 2, 20), args.timeout),
+        ("cpu", min(args.batch, 16), min(args.frames, 40), args.timeout),
     ]
     for platform, batch, frames, timeout in attempts:
         cmd = [
