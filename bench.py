@@ -59,6 +59,10 @@ def main():
 
     cfg = MsckfConfig()
     dev = jax.devices()[0]
+    n_dev = jax.device_count()
+    if args.batch % n_dev != 0:
+        args.batch = max(args.batch // n_dev, 1) * n_dev
+        log(f"batch snapped to {args.batch} (multiple of {n_dev} devices)")
     log(f"device: {dev}, batch={args.batch}, frames={args.frames}")
 
     seq = synthetic.generate(cfg, n_frames=args.frames, seed=0, pixel_noise=0.5)
@@ -81,8 +85,11 @@ def main():
     states = sharding.shard_batch(states, mesh)
 
     chunk = args.chunk if args.chunk > 0 else args.frames
+    # Snap chunk to a divisor of frames so fallback tiers with reduced frame
+    # counts can never die on the divisibility assert (round-1 postmortem).
+    while args.frames % chunk != 0:
+        chunk -= 1
     n_chunks = args.frames // chunk
-    assert n_chunks * chunk == args.frames, "--frames must be divisible by --chunk"
     chunks = [
         jax.tree_util.tree_map(lambda x: x[c * chunk : (c + 1) * chunk], batch_frames)
         for c in range(n_chunks)
@@ -99,7 +106,7 @@ def main():
         # surface at transfer time — a tiny device_get both synchronizes the
         # whole chunk chain (q_IG depends on every chunk) and surfaces faults
         # inside the watchdog window.
-        np.asarray(jax.device_get(states.q_IG[:1]))
+        np.asarray(jax.device_get(states.imu.q_IG[:1]))
         return states, outs_list, metrics
 
     log(f"compiling... ({n_chunks} chunk(s) of {chunk} frames)")
@@ -161,6 +168,7 @@ def _supervise(args):
             "--batch", str(batch),
             "--frames", str(frames),
             "--reps", str(args.reps),
+            "--chunk", str(min(args.chunk, frames) if args.chunk > 0 else frames),
         ]
         if platform:
             cmd += ["--platform", platform]

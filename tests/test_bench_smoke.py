@@ -1,0 +1,41 @@
+"""Smoke-run the bench worker so it can never silently rot again.
+
+Round-1 postmortem: a one-line attribute bug in bench.py turned the round's
+perf score into 0.0 because nothing ever executed the worker before the
+driver did. This runs the actual worker subprocess on CPU with tiny shapes
+and asserts it prints a valid JSON line with value > 0.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_worker_smoke():
+    proc = subprocess.run(
+        [
+            sys.executable, "-u", os.path.join(REPO, "bench.py"),
+            "--_worker",
+            "--platform", "cpu",
+            "--batch", "4",
+            "--frames", "12",
+            "--reps", "1",
+            # 12 % 5 != 0: exercises the chunk-snapping path too
+            "--chunk", "5",
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        timeout=600,
+        cwd=REPO,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert proc.returncode == 0, proc.stderr.decode()[-3000:]
+    lines = proc.stdout.decode().strip().splitlines()
+    assert lines, "worker printed nothing"
+    rec = json.loads(lines[-1])
+    assert rec["metric"] == "batched_vio_frame_steps_per_s"
+    assert rec["value"] > 0
+    assert rec["vs_baseline"] > 0
