@@ -47,6 +47,13 @@ def main():
 
     import jax
 
+    # Persistent compilation cache: retries and fallback tiers skip the
+    # 20-90 s per-program compiles on the tunneled TPU.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp

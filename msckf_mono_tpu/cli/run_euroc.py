@@ -22,7 +22,14 @@ import time
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--data", required=True, help=".../<sequence>/mav0")
+    ap.add_argument("--data", required=True,
+                    help="asl: .../<sequence>/mav0;  pcv: the dataset root")
+    ap.add_argument("--dataset", choices=["asl", "pcv"], default="asl",
+                    help="asl = EuRoC layout; pcv = PennCOSYVIO layout "
+                         "(the runner the reference abandoned, "
+                         "penncosy_msckf.cpp:43-123)")
+    ap.add_argument("--pcv-sensor", default="visensor")
+    ap.add_argument("--pcv-seq", default="af")
     ap.add_argument("--stand-still-end", type=float, default=None,
                     help="end of the standstill window, seconds (unix epoch)")
     ap.add_argument("--init", choices=["gt", "standstill"], default="gt")
@@ -52,7 +59,12 @@ def main(argv=None):
     from msckf_mono_tpu.utils.config import CameraConfig, MsckfConfig
 
     dtype = jnp.float32
-    seq = asl.read_sequence(args.data)
+    if args.dataset == "pcv":
+        from msckf_mono_tpu.data import penncosy
+
+        seq = penncosy.read_sequence(args.data, args.pcv_sensor, args.pcv_seq)
+    else:
+        seq = asl.read_sequence(args.data)
     cam = seq.cam
 
     # camera config from the dataset calibration (ros_interface.cpp:250-274)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from msckf_mono_tpu.core import augment, prune, tracks, update
-from msckf_mono_tpu.core.propagate import propagate
+from msckf_mono_tpu.core import propagate as propagate_mod
 from msckf_mono_tpu.core.types import FilterState
 from msckf_mono_tpu.utils.config import MsckfConfig
 
@@ -57,16 +57,11 @@ class FrameOutput:
 
 
 def propagate_block(state: FilterState, frame: FrameInput, config: MsckfConfig) -> FilterState:
-    """Scan the frame's IMU samples (padded samples carry dt=0 == identity)."""
-
-    def body(s, inp):
-        omega, acc, dt = inp
-        return propagate(s, omega, acc, dt, config), None
-
-    state, _ = jax.lax.scan(
-        body, state, (frame.imu_omega, frame.imu_acc, frame.imu_dt)
+    """The frame's IMU samples as ONE composed covariance update (padded
+    samples carry dt=0 == identity); see core/propagate.propagate_block."""
+    return propagate_mod.propagate_block(
+        state, frame.imu_omega, frame.imu_acc, frame.imu_dt, config
     )
-    return state
 
 
 def step(state: FilterState, frame: FrameInput, config: MsckfConfig):
@@ -124,32 +119,45 @@ def run_sequence(state: FilterState, frames: FrameInput, config: MsckfConfig):
     return jax.lax.scan(body, state, frames)
 
 
-def finish(state: FilterState, config: MsckfConfig) -> FilterState:
-    """End-of-sequence: residualize every remaining track (msckf.h:765-807)."""
+def _stage_pass(state: FilterState, config: MsckfConfig):
+    """Stage up to ``max_staged`` eligible tracks and clear them from the table."""
+    from msckf_mono_tpu.core.types import StagedTracks
+
     shp = config.shapes
     t = state.tracks
     eligible = t.active & (t.lengths >= config.filter.min_track_length)
 
     order = jnp.argsort(jnp.logical_not(eligible), stable=True)[: shp.max_staged]
     staged_valid = eligible[order]
-    from msckf_mono_tpu.core.types import StagedTracks
-
     staged = StagedTracks(
         obs=t.obs[order],
         obs_mask=t.obs_mask[order] & staged_valid[:, None],
         feature_id=t.feature_id[order],
         valid=staged_valid,
     )
-    overflow = jnp.maximum(jnp.sum(eligible) - shp.max_staged, 0).astype(jnp.int32)
-
+    taken = jnp.zeros_like(eligible).at[order].set(staged_valid)
     cleared = t.replace(
-        active=t.active & ~eligible,
-        feature_id=jnp.where(eligible, -1, t.feature_id),
-        obs_mask=t.obs_mask & ~eligible[:, None],
+        active=t.active & ~taken,
+        feature_id=jnp.where(taken, -1, t.feature_id),
+        obs_mask=t.obs_mask & ~taken[:, None],
     )
-    state = state.replace(
-        tracks=cleared,
-        diag=state.diag.replace(staged_overflow=state.diag.staged_overflow + overflow),
-    )
+    remaining = jnp.sum(eligible) - jnp.sum(staged_valid)
+    return state.replace(tracks=cleared), staged, remaining
+
+
+def finish(state: FilterState, config: MsckfConfig) -> FilterState:
+    """End-of-sequence: residualize EVERY remaining eligible track
+    (msckf.h:765-807 force-residualizes all of them).
+
+    The per-update staging buffer holds ``max_staged`` tracks, so this loops
+    ⌈max_tracks/max_staged⌉ passes; passes with nothing staged are identity
+    updates (all rows masked), so running the fixed worst-case count is safe.
+    """
+    shp = config.shapes
+    n_passes = -(-shp.max_tracks // shp.max_staged)
+
     with jax.default_matmul_precision(config.filter.matmul_precision):
-        return update.marginalize(state, staged, config)
+        for _ in range(n_passes):
+            state, staged, _ = _stage_pass(state, config)
+            state = update.marginalize(state, staged, config)
+    return state

@@ -29,7 +29,7 @@ from msckf_mono_tpu.core.types import FilterState
 from msckf_mono_tpu.core.window import compact_slots
 from msckf_mono_tpu.core import triangulate
 from msckf_mono_tpu.core.update import (
-    gating_test,
+    gating_test_all,
     measurement_update,
     stack_rows,
     track_projected_rows,
@@ -87,9 +87,12 @@ def find_redundant_slots(state: FilterState, config: MsckfConfig):
         stopped = stopped | (active & ((count - marked) <= max_states))
         return rm, marked, kf, stopped
 
-    rm0 = jnp.zeros((N,), bool)
+    # Carry inits derive from window data (not fresh constants) so their
+    # "varying" axis status matches the loop outputs under shard_map.
+    rm0 = window.valid & False
+    zero = count * 0
     rm, marked, _, _ = jax.lax.fori_loop(
-        1, N, body, (rm0, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(False))
+        1, N, body, (rm0, zero, zero, count < 0)
     )
 
     # Top-up: mark the first num_over_max slots that are still unmarked.
@@ -121,8 +124,11 @@ def prune_redundant_states(state: FilterState, config: MsckfConfig) -> FilterSta
     # Tracks needing residualization of their involved obs (>=2 of them).
     cand = tracks.active & (n_involved >= 2)
 
-    # Compact candidate tracks into a fixed buffer.
-    S = shp.max_staged * 2
+    # Compact candidate tracks into a fixed buffer. Sized separately from
+    # marginalize's buffer: most live tracks observe the removed slots, so
+    # the prune path needs ~2x the headroom (32 overflows ~5 tracks/frame on
+    # the synthetic world).
+    S = shp.max_staged_prune
     order = jnp.argsort(jnp.logical_not(cand), stable=True)[:S]
     c_valid = cand[order]
     c_obs = tracks.obs[order]
@@ -156,9 +162,7 @@ def prune_redundant_states(state: FilterState, config: MsckfConfig) -> FilterSta
     )(c_obs, c_mask_inv, p_use)
 
     dof = jnp.sum(c_mask_inv, axis=1) - 1
-    gate_ok = jax.vmap(
-        lambda Ho, ro, rv, d: gating_test(Ho, ro, rv, state.P, d, sigma2, config)
-    )(H_all, r_all, rows_valid, dof)
+    gate_ok = gating_test_all(H_all, r_all, state.P, dof, sigma2, config)
 
     pass_mask = use_track & gate_ok
     row_masks = rows_valid & pass_mask[:, None]

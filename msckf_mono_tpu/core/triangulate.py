@@ -140,46 +140,48 @@ def initialize_position(obs, obs_mask, q_CG, p_C_G, max_gn_cost_norm):
         solution, total_cost, lam, done = carry
         JtJ, Jtr = _accumulate_normal_eqs(A, t, obs, obs_mask, solution)
 
-        def inner_body(_, inner):
-            solution, total_cost, lam, reduced, delta_norm = inner
-            running = ~reduced  # the reference's do-while exits once reduced
-            damper = lam * jnp.eye(3, dtype=dtype)
-            delta = solve3x3(JtJ + damper, Jtr)
-            new_solution = solution - delta
-            new_cost = _total_cost(A, t, obs, obs_mask, new_solution)
-            accept = running & (new_cost < total_cost)
-            solution = jnp.where(accept, new_solution, solution)
-            total_cost = jnp.where(accept, new_cost, total_cost)
-            # the reference records delta_norm on every executed iteration
-            delta_norm = jnp.where(running, jnp.linalg.norm(delta), delta_norm)
-            lam = jnp.where(
-                running,
-                jnp.where(
-                    accept,
-                    jnp.maximum(lam / 10.0, 1e-10),
-                    jnp.minimum(lam * 10.0, 1e12),
-                ),
-                lam,
-            )
-            reduced = reduced | accept
-            return solution, total_cost, lam, reduced, delta_norm
-
-        init = (solution, total_cost, lam, jnp.asarray(False), jnp.asarray(0.0, dtype))
-        # do-while(cntr++ < 10): up to 11 evaluations
-        solution_n, cost_n, lam_n, _, delta_norm = jax.lax.fori_loop(
-            0, 11, inner_body, init
+        # The reference's inner do-while (msckf.h:1217-1248) tries lambdas
+        # lam·10⁰, lam·10¹, … and exits at the FIRST cost reduction (reduced
+        # flag), clamping each trial to [1e-10, 1e12]. That trial schedule is
+        # data-independent, so all 11 candidates can be evaluated in parallel
+        # — one broadcast 3×3 solve + one batched cost sweep — instead of 11
+        # sequential solve/cost rounds. Identical accept/lambda semantics,
+        # ~10× less sequential depth (this runs per-track per-frame inside
+        # the scanned step: the hottest loop in the filter).
+        ks = jnp.arange(11)
+        lams = jnp.minimum(lam * (10.0 ** ks.astype(dtype)), 1e12)       # (11,)
+        dampers = lams[:, None, None] * jnp.eye(3, dtype=dtype)          # (11,3,3)
+        deltas = solve3x3(JtJ[None] + dampers, Jtr[None])                # (11,3)
+        cands = solution[None, :] - deltas                               # (11,3)
+        costs = jax.vmap(lambda x: _total_cost(A, t, obs, obs_mask, x))(cands)
+        reduces = costs < total_cost                                      # (11,)
+        any_red = jnp.any(reduces)
+        first = jnp.argmax(reduces)                                       # first accepted trial
+        # If no trial reduces the cost, the do-while runs all 11 iterations
+        # and leaves solution/cost unchanged; lam ends at trial-10's clamp
+        # ×10 (clamped), and delta_norm is that of the LAST executed trial.
+        kacc = jnp.where(any_red, first, 10)
+        solution_n = jnp.where(any_red, cands[kacc], solution)
+        cost_n = jnp.where(any_red, costs[kacc], total_cost)
+        lam_n = jnp.where(
+            any_red,
+            jnp.maximum(lams[kacc] / 10.0, 1e-10),
+            jnp.minimum(lams[10] * 10.0, 1e12),
         )
+        delta_norm = jnp.linalg.norm(deltas[kacc])
+
         solution = jnp.where(done, solution, solution_n)
         total_cost = jnp.where(done, total_cost, cost_n)
         lam = jnp.where(done, lam, lam_n)
         done = done | (delta_norm <= 5e-7)
         return solution, total_cost, lam, done
 
+    # Initial lam/done derive from total_cost (instead of fresh constants) so
+    # their "varying" axis status matches the loop outputs under shard_map.
+    lam0 = jnp.full_like(total_cost, 1e-3)
+    done0 = total_cost < 0.0  # always False: cost is a sum of squares
     solution, total_cost, _, _ = jax.lax.fori_loop(
-        0,
-        11,
-        outer_body,
-        (solution, total_cost, jnp.asarray(1e-3, dtype), jnp.asarray(False)),
+        0, 11, outer_body, (solution, total_cost, lam0, done0)
     )
 
     final_position = jnp.array(

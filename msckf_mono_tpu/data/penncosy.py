@@ -52,7 +52,10 @@ def read_vi_camera(
             line = line.strip()
             if not line or line.startswith("#"):
                 continue
-            times.append(int(float(line.split()[0]) * 1e9))
+            # round, don't truncate: second-denominated floats are ~0.1 ns
+            # off after the f64 round-trip, and truncation would bias stamps
+            # low and misalign the IMU-major bucketing
+            times.append(round(float(line.split()[0]) * 1e9))
             # frame numbering is 1-based (penncosy_readers.cpp:103)
             files.append(os.path.join(frames_dir, f"frame_{i + 1:04d}.png"))
 
@@ -80,7 +83,7 @@ def read_vi_imu(root: str, sensor_name: str, seq: str) -> AslImu:
             vals = line.split()
             if len(vals) < 7 or vals[0].startswith("#"):
                 continue
-            ts.append(int(float(vals[0]) * 1e9))
+            ts.append(round(float(vals[0]) * 1e9))  # see camera-reader note
             ac.append([float(v) for v in vals[1:4]])   # accel first
             om.append([float(v) for v in vals[4:7]])   # then gyro
     return AslImu(
@@ -92,4 +95,28 @@ def read_vi_imu(root: str, sensor_name: str, seq: str) -> AslImu:
         gyroscope_random_walk=0.0,
         accelerometer_noise_density=0.0,
         accelerometer_random_walk=0.0,
+    )
+
+
+def read_sequence(root: str, sensor_name: str = "visensor", seq: str = "af"):
+    """Full PennCOSYVIO sequence in the shared AslSequence shape.
+
+    Completes the restoration the reference abandoned
+    (/root/reference/datasets/penncosy_msckf.cpp:43-123 — MSCKF section
+    commented out): the returned object drives the same packing/runner path
+    as EuRoC (data/sync.py, cli/run_euroc.py --dataset pcv).
+
+    Ground truth: PennCOSYVIO publishes tag-based GT separately from the
+    sensor tree the reference's readers encode; if an ASL-format
+    ``gt0/data.csv`` is present next to the sensor files (our writer emits
+    one for synthetic fixtures) it is loaded, else gt is None.
+    """
+    from msckf_mono_tpu.data.asl import AslSequence, read_ground_truth
+
+    base = os.path.join(root, "data", sensor_name, seq)
+    gt_dir = os.path.join(base, "gt0")
+    return AslSequence(
+        imu=read_vi_imu(root, sensor_name, seq),
+        cam=read_vi_camera(root, sensor_name, seq),
+        gt=read_ground_truth(gt_dir) if os.path.isdir(gt_dir) else None,
     )

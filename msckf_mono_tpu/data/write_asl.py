@@ -90,10 +90,19 @@ def write_sequence(
 
     # ---- ground truth (full state rate) ----
     gt_dir = os.path.join(root, "state_groundtruth_estimate0")
+    write_gt_csv(gt_dir, seq, world, n_imu, t0_ns, gt_stride)
+
+    return {"t0_ns": t0_ns, "frame_ts": frame_ts}
+
+
+def write_gt_csv(gt_dir, seq, world, n_imu, t0_ns, gt_stride=1):
+    """ASL-format GT csv in the reader's conventions (asl_readers.cpp:335-336).
+
+    Discrete GT velocity from the synthetic integrator: v_seq is not stored
+    in SyntheticSequence at full rate, so recover v from p differencing
+    (p_{k+1} = p_k + v_k dt) -> v_k = (p_{k+1} - p_k)/dt.
+    """
     os.makedirs(gt_dir, exist_ok=True)
-    # discrete GT velocity from the synthetic integrator: v_seq is not stored
-    # in SyntheticSequence at full rate, so recover v from p differencing
-    # (p_{k+1} = p_k + v_k dt). v_k = (p_{k+1} - p_k)/dt.
     p_seq = world.p_seq
     q_seq = world.q_seq
     dt = IMU_DT_NS * 1e-9
@@ -118,8 +127,6 @@ def write_sequence(
         )
     with open(os.path.join(gt_dir, "data.csv"), "w") as f:
         f.write("\n".join(rows) + "\n")
-
-    return {"t0_ns": t0_ns, "frame_ts": frame_ts}
 
 
 def _write_yaml_cam(path, cam_cfg, T_BS):

@@ -151,7 +151,12 @@ def track_features(
 
 
 def _use_pallas_default() -> bool:
-    return jax.default_backend() == "tpu"
+    # Off for now even on TPU: the LK kernel's Mosaic compile hangs on
+    # hardware (dynamic sublane slices inside the GN loop; under
+    # investigation — tools/validate_pallas_tpu.py tracks the status). The
+    # jnp path is correct and benchmarked; flip back once the kernel
+    # compiles clean.
+    return False
 
 
 def track_features_pyr(

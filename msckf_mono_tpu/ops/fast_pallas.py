@@ -35,13 +35,16 @@ LANE = 128
 
 
 def _fast_nms_kernel(img_ref, out_ref, slab, sem, *, threshold, tile_h, W_true, H_true):
-    """One program: rows [i*tile_h - HALO, i*tile_h + tile_h + HALO) -> scores."""
-    i = pl.program_id(0)
-    H_pad = img_ref.shape[0]
-    slab_h = tile_h + 2 * HALO
+    """One program: padded-image rows [i*tile_h, i*tile_h + tile_h + 2·HALO).
 
-    start = jnp.clip(i * tile_h - HALO, 0, H_pad - slab_h)
-    off = i * tile_h - start  # output row 0 within the slab
+    The wrapper pads the image by HALO rows top and bottom, so every tile's
+    slab starts at the static-stride offset i*tile_h (a multiple of 8 —
+    Mosaic rejects dynamic sublane starts it cannot prove 8-aligned) and the
+    output window sits at the fixed slab offset HALO.
+    """
+    i = pl.program_id(0)
+    slab_h = tile_h + 2 * HALO
+    start = i * tile_h  # padded-image coordinates
 
     # one HBM -> VMEM DMA of the slab
     dma = pltpu.make_async_copy(img_ref.at[pl.ds(start, slab_h)], slab, sem)
@@ -83,8 +86,9 @@ def _fast_nms_kernel(img_ref, out_ref, slab, sem, *, threshold, tile_h, W_true, 
         score_d = jnp.maximum(score_d, arc_d)
     score = jnp.maximum(score_b, score_d)
 
-    # interior mask in GLOBAL coordinates (3px border invalid)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (sh, Wp), 0) + start + r0
+    # interior mask in GLOBAL image coordinates (3px border invalid);
+    # padded-image row start+r0 is global row start+r0-HALO
+    rows = jax.lax.broadcasted_iota(jnp.int32, (sh, Wp), 0) + start + r0 - HALO
     cols = jax.lax.broadcasted_iota(jnp.int32, (sh, Wp), 1)
     interior = (
         (rows >= 3) & (rows < H_true - 3) & (cols >= 3) & (cols < W_true - 3)
@@ -92,41 +96,36 @@ def _fast_nms_kernel(img_ref, out_ref, slab, sem, *, threshold, tile_h, W_true, 
     s = jnp.where(interior & (score > threshold), score, -big)
 
     # 3x3 NMS on the masked score (matches detect.nonmax_3x3: keep >= max of
-    # masked neighbors). Consume rows [off-1+..]: local output rows in s are
-    # off - r0 + [0, tile_h).
-    # pad so slicing stays in range even for edge tiles whose halo was
-    # clamped: s_pad row r corresponds to slab row r - (r0 + 1), rows outside
-    # the computed region are -big (never corners).
-    pad = jnp.full((r0 + 1, Wp), -big)
-    s_pad = jnp.concatenate([pad, s, pad], axis=0)
-    # output row 0 = slab row `off` = s_pad row off + 1; NMS needs -1: start at
-    # (off + 1) - 1 = off >= 0 always.
-    sc = jax.lax.dynamic_slice(
-        s_pad, (off, jnp.zeros((), off.dtype)), (tile_h + 2, Wp)
-    )
+    # masked neighbors). Output row k = slab row HALO+k = s row HALO-r0+k =
+    # s row 1+k, so the NMS window is exactly s — all slices static.
+    sc = s
     neigh = jnp.full((tile_h, Wp), -big)
     for dy in (0, 1, 2):
         for dx in (-1, 0, 1):
-            n = jax.lax.dynamic_slice(sc, (jnp.int32(dy), jnp.int32(0)), (tile_h, Wp))
+            n = sc[dy : dy + tile_h, :]
             if dx != 0:
                 n = pltpu.roll(n, (-dx) % Wp, 1)
             if dy == 1 and dx == 0:
                 continue
             neigh = jnp.maximum(neigh, n)
-    mine = jax.lax.dynamic_slice(sc, (jnp.int32(1), jnp.int32(0)), (tile_h, Wp))
+    mine = sc[1 : 1 + tile_h, :]
     keep = (mine > -big) & (mine >= neigh)
     out_ref[:, :] = jnp.where(keep, mine, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "tile_h", "interpret"))
-def fast_nms_score(img, threshold: float = 20.0, tile_h: int = 120, interpret: bool = False):
+def fast_nms_score(img, threshold: float = 20.0, tile_h: int = 64, interpret: bool = False):
+    # tile_h=64: the 16 live circle-difference tensors plus accumulators have
+    # to fit the 16 MB scoped-VMEM stack; 120-row tiles measured 22.7 MB.
     """(H, W) image -> (H, W) NMS-suppressed FAST-10 score (0 = not a corner)."""
+    assert tile_h % 8 == 0, "tile_h must be a sublane multiple"
     H, W = img.shape
     Wp = -(-W // LANE) * LANE
     n_tiles = -(-H // tile_h)
-    H_pad = max(n_tiles * tile_h, tile_h + 2 * HALO)
+    # HALO rows of padding top and bottom -> every slab start is static
+    H_pad = n_tiles * tile_h + 2 * HALO
     img_p = jnp.zeros((H_pad, Wp), jnp.float32)
-    img_p = img_p.at[:H, :W].set(img.astype(jnp.float32))
+    img_p = img_p.at[HALO : HALO + H, :W].set(img.astype(jnp.float32))
 
     kernel = functools.partial(
         _fast_nms_kernel,
@@ -142,7 +141,7 @@ def fast_nms_score(img, threshold: float = 20.0, tile_h: int = 120, interpret: b
         out_specs=pl.BlockSpec(
             (tile_h, Wp), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((H_pad, Wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tile_h, Wp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((tile_h + 2 * HALO, Wp), jnp.float32),
             pltpu.SemaphoreType.DMA,

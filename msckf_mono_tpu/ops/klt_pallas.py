@@ -47,12 +47,16 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _klt_level_kernel(
-    ptp_ref, ptc_ref, valid_ref,  # SMEM per-feature blocks
+    ptp_ref, ptc_ref, valid_ref,  # SMEM full (F,·) arrays, indexed by program
     img_prev_ref, img_cur_ref,    # VMEM full padded level
-    out_pt_ref, out_good_ref,     # SMEM per-feature outputs
+    out_pt_ref, out_good_ref,     # SMEM full (F,·) outputs
     *,
     half: int, ts: int, pad: int, max_iters: int, eps: float, min_eig_thr: float,
 ):
+    # Per-feature scalars travel as FULL SMEM arrays indexed with
+    # program_id — Mosaic rejects (1, 2) SMEM blocks (block dims must divide
+    # (8, 128) or equal the array's).
+    fidx = pl.program_id(0)
     w = 2 * half + 1
     tw = w + 2  # sample grid: window + 1px gradient margin each side
     Hp, Wp = img_prev_ref.shape
@@ -84,8 +88,8 @@ def _klt_level_kernel(
         )                                                       # (COLS, LANE)
         return jnp.dot(rows, sx, preferred_element_type=f32)    # (ts, LANE)
 
-    px, py = ptp_ref[0, 0], ptp_ref[0, 1]
-    cx0, cy0 = ptc_ref[0, 0], ptc_ref[0, 1]
+    px, py = ptp_ref[fidx, 0], ptp_ref[fidx, 1]
+    cx0, cy0 = ptc_ref[fidx, 0], ptc_ref[fidx, 1]
 
     tpl = sample(img_prev_ref, px, py)
     ix = 0.5 * (pltpu.roll(tpl, LANE - 1, 1) - pltpu.roll(tpl, 1, 1)) * wm
@@ -98,7 +102,7 @@ def _klt_level_kernel(
     tr = (gxx + gyy) / win_n
     det = (gxx * gyy - gxy * gxy) / (win_n * win_n)
     min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0)))
-    good = (valid_ref[0, 0] != 0) & (min_eig > f32(min_eig_thr))
+    good = (valid_ref[fidx, 0] != 0) & (min_eig > f32(min_eig_thr))
 
     det_g = gxx * gyy - gxy * gxy
     det_g = jnp.where(jnp.abs(det_g) > 1e-12, det_g, 1e-12)
@@ -121,9 +125,9 @@ def _klt_level_kernel(
         0, max_iters, body, (cx0, cy0, jnp.logical_not(good))
     )
 
-    out_pt_ref[0, 0] = jnp.where(good, cx, cx0)
-    out_pt_ref[0, 1] = jnp.where(good, cy, cy0)
-    out_good_ref[0, 0] = good.astype(jnp.int32)
+    out_pt_ref[fidx, 0] = jnp.where(good, cx, cx0)
+    out_pt_ref[fidx, 1] = jnp.where(good, cy, cy0)
+    out_good_ref[fidx, 0] = good.astype(jnp.int32)
 
 
 @functools.partial(
@@ -166,15 +170,15 @@ def track_level(
         kernel,
         grid=(F,),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((F, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((F, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((F, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((Hp, Wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Hp, Wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((F, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((F, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((F, 2), jnp.float32),

@@ -1,0 +1,146 @@
+"""Pallas batched PSD solve for the Mahalanobis gate.
+
+γ = rᵀ S⁻¹ r for thousands of small (R×R) PSD systems per step — the gating
+test of every staged track (reference msckf.h:1103-1124). XLA's batched
+``cholesky``/``lu`` lower to long sequential loops over HBM-resident tiles
+(measured 48 ms / 132 ms for (8192, 53, 53) f32 on TPU v5e); this kernel keeps
+each matrix VMEM-resident with the batch on the 128-wide lane dimension, so
+the factorization's sequential column recurrence runs as R fori_loop VPU steps
+vectorized across 128 systems at once, and only γ returns to HBM.
+
+γ needs no back-substitution: S = LLᵀ ⇒ γ = ‖L⁻¹r‖².
+
+Mosaic lessons baked in (each cost a failed hardware compile):
+* fully unrolling the R-step recurrence hangs the compiler — use fori_loop;
+* i1 vector loop carries fail to legalize — carry the bad-pivot flag as f32;
+* dynamic_slice on vector VALUES is unimplemented — all dynamic indexing
+  goes through VMEM refs with ``pl.ds``;
+* whole-(R,R,LANES) vector values blow the register budget — the trailing
+  rank-1 update walks 8-row blocks in place.
+
+R is padded to a sublane multiple with an identity block (and zero rhs rows),
+which leaves γ exactly unchanged. Indefinite lanes (S not PSD from f32
+roundoff, or zero padding lanes) are flagged and forced to γ=+inf so the
+caller's ``γ < χ²`` gate fails CLOSED — same behavior as the jnp fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _gamma_kernel(S_ref, r_ref, out_ref, A_ref, L_ref, b_ref, *, R: int):
+    A_ref[:] = S_ref[:]
+    b_ref[:] = r_ref[:]
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)      # (R, 1)
+    blk_row = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)  # (8, 1)
+    n_blk = R // 8
+
+    def chol_body(j, bad):
+        colA = A_ref[:, pl.ds(j, 1), :][:, 0, :]              # (R, LANES)
+        d = jnp.sum(jnp.where(row == j, colA, 0.0), axis=0)   # A[j,j,:]
+        bad = jnp.maximum(bad, jnp.where(d <= 0.0, 1.0, 0.0))
+        s = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
+        colj = colA * s[None, :]
+        colm = jnp.where(row > j, colj, 0.0)                  # (R, LANES)
+        L_ref[:, pl.ds(j, 1), :] = jnp.where(row == j, colj, colm)[:, None, :]
+
+        def upd(i, _):
+            r0 = i * 8
+            blk = A_ref[pl.ds(r0, 8), :, :]                   # (8, R, LANES)
+            cm_blk = L_ref[pl.ds(r0, 8), pl.ds(j, 1), :][:, 0, :]  # (8, LANES)
+            cm = jnp.where(blk_row + r0 > j, cm_blk, 0.0)
+            A_ref[pl.ds(r0, 8), :, :] = blk - cm[:, None, :] * colm[None, :, :]
+            return 0
+
+        jax.lax.fori_loop(0, n_blk, upd, 0)
+        return bad
+
+    bad = jax.lax.fori_loop(0, R, chol_body, jnp.zeros((LANES,), S_ref.dtype))
+
+    # Forward substitution y = L⁻¹ b, accumulating γ = Σ y².
+    def sub_body(j, gamma):
+        colL = L_ref[:, pl.ds(j, 1), :][:, 0, :]              # (R, LANES)
+        diag = jnp.sum(jnp.where(row == j, colL, 0.0), axis=0)
+        bj = jnp.sum(jnp.where(row == j, b_ref[:], 0.0), axis=0)
+        yj = bj / diag
+        b_ref[:] = b_ref[:] - jnp.where(row > j, colL * yj[None, :], 0.0)
+        return gamma + yj * yj
+
+    gamma = jax.lax.fori_loop(0, R, sub_body, jnp.zeros((LANES,), r_ref.dtype))
+
+    gamma = jnp.where(bad > 0.0, jnp.inf, gamma)
+    out_ref[:] = jnp.broadcast_to(gamma[None, :], (8, LANES))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gamma_psd(Smat: jnp.ndarray, r: jnp.ndarray, interpret: bool = False):
+    """γ_i = r_iᵀ S_i⁻¹ r_i batched over leading axes.
+
+    Smat: (..., R, R); r: (..., R). Returns (...,).
+    """
+    batch_shape = Smat.shape[:-2]
+    R = Smat.shape[-1]
+    Rp = _round_up(R, 8)
+    n = 1
+    for d in batch_shape:
+        n *= d
+    pad = (-n) % LANES
+    L_total = n + pad
+
+    # Pad the system to Rp with an identity block / zero rhs — γ unchanged.
+    Smat = Smat.reshape(n, R, R)
+    r = r.reshape(n, R)
+    if Rp != R:
+        eye_pad = jnp.eye(Rp, dtype=Smat.dtype)[R:, :]
+        Smat = jnp.concatenate(
+            [
+                jnp.concatenate([Smat, jnp.zeros((n, R, Rp - R), Smat.dtype)], axis=2),
+                jnp.broadcast_to(eye_pad[None], (n, Rp - R, Rp)),
+            ],
+            axis=1,
+        )
+        r = jnp.concatenate([r, jnp.zeros((n, Rp - R), r.dtype)], axis=1)
+
+    # lanes-last layout: (Rp, Rp, L) / (Rp, L)
+    S_flat = jnp.moveaxis(Smat, 0, -1)
+    r_flat = jnp.moveaxis(r, 0, -1)
+    if pad:
+        S_flat = jnp.pad(S_flat, ((0, 0), (0, 0), (0, pad)))
+        r_flat = jnp.pad(r_flat, ((0, 0), (0, pad)))
+
+    out = pl.pallas_call(
+        functools.partial(_gamma_kernel, R=Rp),
+        grid=(L_total // LANES,),
+        in_specs=[
+            pl.BlockSpec((Rp, Rp, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rp, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, L_total), Smat.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Rp, Rp, LANES), Smat.dtype),
+            pltpu.VMEM((Rp, Rp, LANES), Smat.dtype),
+            pltpu.VMEM((Rp, LANES), Smat.dtype),
+        ],
+        interpret=interpret,
+    )(S_flat, r_flat)
+    return out[0, :n].reshape(batch_shape)
+
+
+def use_pallas_default() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001
+        return False

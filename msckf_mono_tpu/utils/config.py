@@ -88,6 +88,12 @@ class FilterConfig:
     # (a.k.a. highest) keeps true f32.
     matmul_precision: str = "highest"
 
+    # QR "T_H" row compression before the update (msckf.h:1343-1366). With
+    # isotropic R the compressed and direct updates are algebraically
+    # identical; the direct path is ~4x cheaper on TPU (batched QR is slow),
+    # so this is off by default and kept for the reference-shaped pipeline.
+    use_qr_compression: bool = False
+
     # Reference quirks, individually toggleable:
     chi2_offbyone: bool = True             # msckf.h:1117 table[dof+1]
     # NOTE: the reference loader stores the "keyframe_transl_dist" launch key
@@ -112,6 +118,7 @@ class ShapeConfig:
     num_slots: int = 28            # camera-state window slots (max_cam_states + headroom)
     max_tracks: int = 128          # live feature-track rows
     max_staged: int = 32           # tracks residualized per frame step
+    max_staged_prune: int = 64     # candidate buffer of the redundant-prune update
     max_update_rows: int = 384     # row budget of the stacked EKF update
     max_features_per_frame: int = 64   # front-end features ingested per frame
     imu_per_frame: int = 10        # IMU samples between camera frames (200/20 Hz)

@@ -16,3 +16,18 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+def pytest_sessionstart(session):
+    """Build the native loader so its tests run instead of silently skipping
+    (round-1 gap: the .so is gitignored and nothing built it)."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.join(repo, "native"), "-s"],
+            check=False, timeout=300, capture_output=True,
+        )
+    except Exception:
+        pass  # the loader tests will report the skip reason

@@ -80,3 +80,64 @@ def test_read_vi_imu(fixture_root):
     np.testing.assert_allclose(imu.acc[0], [0.1, -0.2, 9.81])
     np.testing.assert_allclose(imu.omega[3], [0.03, -0.02, 0.3])
     assert imu.timestamps[1] - imu.timestamps[0] == 5_000_000
+
+
+@pytest.fixture(scope="module")
+def written_pcv(tmp_path_factory):
+    from msckf_mono_tpu.data import synthetic, write_penncosy
+    from msckf_mono_tpu.utils.config import MsckfConfig
+
+    cfg = MsckfConfig()
+    seq, world = synthetic.generate(
+        cfg, n_frames=25, seed=3, pixel_noise=0.0, n_landmarks=500,
+        return_world=True,
+    )
+    root = str(tmp_path_factory.mktemp("pcv_root"))
+    info = write_penncosy.write_sequence(root, cfg, seq, world)
+    return cfg, seq, world, root, info
+
+
+def test_pcv_read_sequence_roundtrip(written_pcv):
+    cfg, seq, world, root, info = written_pcv
+    rd = penncosy.read_sequence(root)
+    assert len(rd.cam.image_files) == 25
+    assert rd.gt is not None
+    # IMU round-trips: accel/gyro column order is the pcv quirk
+    n = seq.imu_omega.shape[0] * seq.imu_omega.shape[1]
+    np.testing.assert_allclose(
+        rd.imu.omega[:n], seq.imu_omega.reshape(n, 3), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        rd.imu.acc[:n], seq.imu_acc.reshape(n, 3), rtol=1e-12
+    )
+    # ns-exact timestamps despite the second-denominated float format
+    assert rd.imu.timestamps[0] == info["t0_ns"] + 5_000_000
+    np.testing.assert_array_equal(rd.cam.timestamps, info["frame_ts"])
+
+
+@pytest.mark.slow
+def test_run_pcv_cli_end_to_end(written_pcv, tmp_path, capsys):
+    """The restored PennCOSYVIO runner (reference penncosy_msckf.cpp:43-123,
+    abandoned there) end-to-end: pcv layout -> front-end -> filter -> ATE."""
+    import json
+
+    cfg, seq, world, root, info = written_pcv
+    from msckf_mono_tpu.cli import run_euroc
+
+    out = str(tmp_path / "traj.npz")
+    run_euroc.main(
+        [
+            "--data", root,
+            "--dataset", "pcv",
+            "--cpu",
+            "--init", "gt",
+            "--stand-still-end", str(info["t0_ns"] / 1e9),
+            "--finish",
+            "--out", out,
+        ]
+    )
+    report = json.loads(capsys.readouterr().out)
+    assert report["frames"] == 25
+    assert report["ate_rmse"] < 0.5, report
+    assert report["final_drift"] < 1.0, report
+    assert os.path.exists(out)

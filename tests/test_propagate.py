@@ -137,3 +137,43 @@ def test_propagate_jits_and_vmaps():
     out = f(batch, omega, a, dt)
     assert out.P.shape == (4, cfg.shapes.state_dim, cfg.shapes.state_dim)
     assert np.all(np.isfinite(np.asarray(out.P)))
+
+
+def test_propagate_block_matches_sequential():
+    """The composed one-shot block (core/propagate.propagate_block) must agree
+    with scanning propagate() per sample — same math, composed exactly."""
+    import jax
+
+    from msckf_mono_tpu.core.propagate import propagate, propagate_block
+    from msckf_mono_tpu.core.types import init_filter_state
+    from msckf_mono_tpu.core.update import apply_correction
+
+    cfg = MsckfConfig()
+    rng = np.random.default_rng(0)
+    state = init_filter_state(cfg, dtype=jnp.float64)
+    # make the covariance non-trivial and the nulls differ from the state
+    D = cfg.shapes.state_dim
+    X = rng.normal(size=(D, D))
+    state = state.replace(P=jnp.asarray(X @ X.T * 1e-6 + np.eye(D) * 1e-5))
+    state = apply_correction(state, jnp.asarray(rng.normal(size=D) * 1e-3), cfg)
+
+    K = 10
+    omegas = jnp.asarray(rng.normal(size=(K, 3)) * 0.3)
+    accs = jnp.asarray(rng.normal(size=(K, 3)) * 2.0 + np.array([0, 0, 9.81]))
+    dts = jnp.asarray(np.r_[np.full(K - 2, 0.005), 0.0, 0.0])  # incl. padding
+
+    seq_state = state
+    for k in range(K):
+        seq_state = propagate(seq_state, omegas[k], accs[k], dts[k], cfg)
+
+    blk_state = propagate_block(state, omegas, accs, dts, cfg)
+
+    np.testing.assert_allclose(
+        np.asarray(blk_state.imu.q_IG), np.asarray(seq_state.imu.q_IG), atol=1e-14
+    )
+    np.testing.assert_allclose(
+        np.asarray(blk_state.imu.p_I_G), np.asarray(seq_state.imu.p_I_G), atol=1e-14
+    )
+    np.testing.assert_allclose(
+        np.asarray(blk_state.P), np.asarray(seq_state.P), rtol=1e-10, atol=1e-14
+    )
