@@ -37,6 +37,10 @@ def main():
                     help="frames per device call (shorter programs are kinder "
                          "to the tunneled TPU; 0 = whole sequence in one call)")
     ap.add_argument("--platform", default=None, help="force jax platform (cpu/tpu)")
+    ap.add_argument("--stages", action="store_true",
+                    help="also print a per-stage device-time breakdown "
+                         "(eval/timing.py, the StageTiming telemetry analogue) "
+                         "to stderr")
     ap.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--timeout", type=int, default=900,
                     help="watchdog seconds per attempt (tunneled TPUs can wedge)")
@@ -64,7 +68,17 @@ def main():
     from msckf_mono_tpu.parallel import montecarlo, sharding
     from msckf_mono_tpu.utils.config import MsckfConfig
 
+    import dataclasses
+
     cfg = MsckfConfig()
+    # The staged-row pipeline's peak HBM scales with batch × staged_chunk
+    # (see update.gated_row_stack); keep that product ~8k so batch 1024 fits
+    # in v5e HBM while small batches keep the low sequential depth of the
+    # unchunked path.
+    chunk_s = max(8, 8192 // max(args.batch, 1))
+    cfg = dataclasses.replace(
+        cfg, shapes=dataclasses.replace(cfg.shapes, staged_chunk=chunk_s)
+    )
     dev = jax.devices()[0]
     n_dev = jax.device_count()
     if args.batch % n_dev != 0:
@@ -141,6 +155,25 @@ def main():
         frame_steps_per_s = 0.0
         rt_equiv = 0.0
 
+    if args.stages:
+        from msckf_mono_tpu.core import filter as mf, augment, tracks
+        from msckf_mono_tpu.eval import timing
+
+        # Mid-sequence batched state + one frame => the same per-stage table
+        # the reference publishes as StageTiming (asl_msckf.cpp:207-296).
+        frame1 = jax.tree_util.tree_map(lambda x: x[-1], batch_frames)
+
+        def get_staged(s, f):
+            s = mf.propagate_block(s, f, cfg)
+            s = augment.augment_state(s, f.state_id, f.time, cfg)
+            return tracks.update_tracks(s, f.tracked_uv, f.tracked_ids, f.tracked_valid, cfg)
+
+        mstate, staged = jax.jit(jax.vmap(lambda s, f: get_staged(s, f)))(final, frame1)
+        table = timing.stage_timing(mstate, frame1, staged, cfg, reps=max(args.reps, 3))
+        log("per-stage device times (s, batch={}):".format(args.batch))
+        for k in timing.STAGES:
+            log(f"  {k:20s} {table[k]*1e3:9.2f} ms")
+
     print(
         json.dumps(
             {
@@ -179,6 +212,8 @@ def _supervise(args):
         ]
         if platform:
             cmd += ["--platform", platform]
+        if args.stages:
+            cmd += ["--stages"]
         log(f"bench attempt: platform={platform or 'default'} batch={batch} frames={frames}")
         try:
             proc = subprocess.run(

@@ -28,12 +28,7 @@ import jax.numpy as jnp
 from msckf_mono_tpu.core.types import FilterState
 from msckf_mono_tpu.core.window import compact_slots
 from msckf_mono_tpu.core import triangulate
-from msckf_mono_tpu.core.update import (
-    gating_test_all,
-    measurement_update,
-    stack_rows,
-    track_projected_rows,
-)
+from msckf_mono_tpu.core.update import gated_row_stack, measurement_update
 from msckf_mono_tpu.utils import quat
 from msckf_mono_tpu.utils.config import MsckfConfig
 
@@ -156,17 +151,11 @@ def prune_redundant_states(state: FilterState, config: MsckfConfig) -> FilterSta
     use_track = c_valid & (c_init | newly_init)
     p_use = jnp.where(newly_init[:, None], p_new, c_pf)
 
-    # Projected rows over the involved observations only.
-    H_all, r_all, rows_valid = jax.vmap(
-        lambda o, om, pf: track_projected_rows(o, om, pf, window, g, config)
-    )(c_obs, c_mask_inv, p_use)
-
-    dof = jnp.sum(c_mask_inv, axis=1) - 1
-    gate_ok = gating_test_all(H_all, r_all, state.P, dof, sigma2, config)
-
-    pass_mask = use_track & gate_ok
-    row_masks = rows_valid & pass_mask[:, None]
-    H, r, n_rows_dropped = stack_rows(H_all, r_all, row_masks, config)
+    # Projected rows over the involved observations only (chunked over the
+    # candidate axis — see update.gated_row_stack for the memory rationale).
+    H, r, gate_ok, n_rows_dropped = gated_row_stack(
+        c_obs, c_mask_inv, p_use, use_track, window, g, state.P, sigma2, config
+    )
     state = measurement_update(state, H, r, sigma2, config)
 
     # Persist newly-cached triangulations back into the (un-permuted) table.

@@ -120,6 +120,9 @@ class ShapeConfig:
     max_staged: int = 32           # tracks residualized per frame step
     max_staged_prune: int = 64     # candidate buffer of the redundant-prune update
     max_update_rows: int = 384     # row budget of the stacked EKF update
+    staged_chunk: int = 8          # staged tracks per gated_row_stack scan step
+    #   (bounds peak HBM of the dense per-track Jacobians: ~C·(2N-3)·D floats
+    #   per filter instead of S·(2N-3)·D; 8 keeps batch-1024 under ~2 GB)
     max_features_per_frame: int = 64   # front-end features ingested per frame
     imu_per_frame: int = 10        # IMU samples between camera frames (200/20 Hz)
 
