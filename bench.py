@@ -71,19 +71,19 @@ def main():
     import dataclasses
 
     cfg = MsckfConfig()
-    # The staged-row pipeline's peak HBM scales with batch × staged_chunk
-    # (see update.gated_row_stack); keep that product ~8k so batch 1024 fits
-    # in v5e HBM while small batches keep the low sequential depth of the
-    # unchunked path.
-    chunk_s = max(8, 8192 // max(args.batch, 1))
-    cfg = dataclasses.replace(
-        cfg, shapes=dataclasses.replace(cfg.shapes, staged_chunk=chunk_s)
-    )
     dev = jax.devices()[0]
     n_dev = jax.device_count()
     if args.batch % n_dev != 0:
         args.batch = max(args.batch // n_dev, 1) * n_dev
         log(f"batch snapped to {args.batch} (multiple of {n_dev} devices)")
+    # The staged-row pipeline's peak HBM scales with batch × staged_chunk
+    # (see update.gated_row_stack); keep that product ~8k so batch 1024 fits
+    # in v5e HBM while small batches keep the low sequential depth of the
+    # unchunked path. Computed from the post-snap batch (ADVICE r2).
+    chunk_s = max(8, 8192 // max(args.batch, 1))
+    cfg = dataclasses.replace(
+        cfg, shapes=dataclasses.replace(cfg.shapes, staged_chunk=chunk_s)
+    )
     log(f"device: {dev}, batch={args.batch}, frames={args.frames}")
 
     seq = synthetic.generate(cfg, n_frames=args.frames, seed=0, pixel_noise=0.5)

@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 
 from msckf_mono_tpu.core.types import FilterState
-from msckf_mono_tpu.core.window import compact_slots
 from msckf_mono_tpu.utils import quat
 from msckf_mono_tpu.utils.config import MsckfConfig
 
@@ -28,13 +27,43 @@ def augment_state(state: FilterState, state_id, time, config: MsckfConfig) -> Fi
     dtype = state.P.dtype
     N = config.shapes.num_slots
 
-    # Make room if physically full (rare; counted).
+    # Make room if physically full (rare; counted). Dropping the OLDEST slot
+    # is the fixed permutation "roll left by one", so the maybe-drop is a
+    # static roll + select — under vmap a lax.cond runs both branches anyway,
+    # and the general compact_slots path costs a data-dependent permutation of
+    # P where this costs two static slices (round-3 microbench).
     full = state.window.count >= N
-    def drop_oldest(s):
-        keep = s.window.valid & (jnp.arange(N) != 0)
-        s = compact_slots(s, keep)
-        return s.replace(diag=s.diag.replace(window_overflow=s.diag.window_overflow + 1))
-    state = jax.lax.cond(full, drop_oldest, lambda s: s, state)
+
+    def rolled(x, axis):
+        return jnp.roll(x, -1, axis=axis)
+
+    w = state.window
+    window_r = w.replace(
+        q_CG=rolled(w.q_CG, 0), p_C_G=rolled(w.p_C_G, 0), time=rolled(w.time, 0),
+        state_id=jnp.where(jnp.arange(N) < N - 1, rolled(w.state_id, 0), -1),
+        # only selected when the window is full, so survivors are 0..N-2
+        valid=w.valid & (jnp.arange(N) < N - 1),
+    )
+    t = state.tracks
+    mask_r = rolled(t.obs_mask, 1) & (jnp.arange(N) < N - 1)[None, :]
+    tracks_r = t.replace(obs=rolled(t.obs, 1) * mask_r[:, :, None], obs_mask=mask_r)
+    # P: shift the camera block up-left by 6; zero the freed last 6 rows/cols.
+    P_r = jnp.zeros_like(state.P)
+    P_r = P_r.at[:15, :15].set(state.P[:15, :15])
+    P_r = P_r.at[:15, 15 : 15 + 6 * (N - 1)].set(state.P[:15, 21:])
+    P_r = P_r.at[15 : 15 + 6 * (N - 1), :15].set(state.P[21:, :15])
+    P_r = P_r.at[15 : 15 + 6 * (N - 1), 15 : 15 + 6 * (N - 1)].set(state.P[21:, 21:])
+
+    state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(jnp.reshape(full, (1,) * a.ndim), a, b),
+        state.replace(
+            window=window_r,
+            tracks=tracks_r,
+            P=P_r,
+            diag=state.diag.replace(window_overflow=state.diag.window_overflow + 1),
+        ),
+        state,
+    )
 
     imu = state.imu
     q_CI = jnp.asarray(config.camera.q_CI, dtype)

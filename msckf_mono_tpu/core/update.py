@@ -184,7 +184,11 @@ def gated_row_stack(obs, obs_mask, p_f, track_ok, window, g, P, sigma2,
     staged tracks. At batch 1024 the unchunked path needs ~12 GB of HBM for
     S=64 (measured OOM, round 2); chunked at C=8 it needs ~1.5 GB.
 
-    Returns (H (R_MAX, D), r (R_MAX,), gate_ok (S,), n_dropped).
+    Returns (H (R_MAX, D), r (R_MAX,), gate_ok (S,), rows_present (S,),
+    n_dropped). ``rows_present[s]`` is True iff track s contributed at least
+    one valid row (its gate passed AND it produced non-masked projected rows —
+    a track whose observations all fail the depth guard yields zero rows even
+    with a trivially-passing gate).
     """
     S, N, _ = obs.shape
     R = 2 * N - 3
@@ -231,13 +235,13 @@ def gated_row_stack(obs, obs_mask, p_f, track_ok, window, g, P, sigma2,
         nv = jnp.sum(rmf).astype(jnp.int32)
         buf = jax.lax.dynamic_update_slice(buf, rows, (count, count * 0))
         count = jnp.minimum(count + nv, R_MAX)
-        return (buf, count, total + nv), gate_c
+        return (buf, count, total + nv), (gate_c, jnp.any(rm, axis=1))
 
-    (buf, _, total), gate_ok = jax.lax.scan(body, carry0, xs)
+    (buf, _, total), (gate_ok, rows_present) = jax.lax.scan(body, carry0, xs)
     H = buf[:R_MAX, :D]
     r = buf[:R_MAX, D]
     n_dropped = jnp.maximum(total - R_MAX, 0).astype(jnp.int32)
-    return H, r, gate_ok.reshape(S), n_dropped
+    return H, r, gate_ok.reshape(S), rows_present.reshape(S), n_dropped
 
 
 def stack_rows(H_all, r_all, row_masks, config: MsckfConfig):
@@ -367,13 +371,13 @@ def marginalize(state: FilterState, staged: StagedTracks, config: MsckfConfig) -
     track_ok = motion_ok & tri_ok
     p_f_G = jnp.nan_to_num(p_f_G, nan=0.0, posinf=0.0, neginf=0.0)
 
-    H, r, gate_ok, n_dropped = gated_row_stack(
+    H, r, gate_ok, rows_present, n_dropped = gated_row_stack(
         staged.obs, staged.obs_mask, p_f_G, track_ok, window, g, state.P,
         sigma2, config,
     )
 
     state = measurement_update(state, H, r, sigma2, config)
-    any_rows = jnp.any(track_ok & gate_ok & (jnp.sum(staged.obs_mask, axis=1) >= 2))
+    any_rows = jnp.any(rows_present)
 
     diag = state.diag.replace(
         row_overflow=state.diag.row_overflow + n_dropped,

@@ -42,8 +42,15 @@ def test_bench_worker_smoke():
     assert rec["metric"] == "batched_vio_frame_steps_per_s"
     assert rec["value"] > 0
     assert rec["vs_baseline"] > 0
-    # per-stage table landed on stderr with every stage present
+    # per-stage table landed on stderr with every stage's formatted ROW
+    # present (a bare substring check can false-pass on e.g. the metrics
+    # dict mentioning "update" — ADVICE r2).
+    import re
+
     err = proc.stderr.decode()
     from msckf_mono_tpu.eval.timing import STAGES
     for stage in STAGES:
-        assert stage in err, f"stage {stage} missing from --stages output"
+        pat = rf"^  {re.escape(stage)}\s+[\d.]+ ms$"
+        assert re.search(pat, err, re.MULTILINE), (
+            f"stage row for {stage} missing from --stages output"
+        )

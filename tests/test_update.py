@@ -220,3 +220,103 @@ def test_marginalize_empty_staged_is_noop_on_state():
         np.asarray(out.window.p_C_G), np.asarray(state.window.p_C_G), atol=1e-12
     )
     assert int(out.num_residualized) == 0
+
+
+def _staged_fixture(n_tracks, n_obs_each, seed=11):
+    """A window + n_tracks staged tracks with triangulated points."""
+    import dataclasses
+
+    state = _state_with_window(10, seed=seed)
+    rng = np.random.default_rng(seed)
+    S = CFG.shapes.max_staged
+    obs = np.zeros((S, N, 2))
+    masks = np.zeros((S, N), bool)
+    pts = np.zeros((S, 3))
+    ok = np.zeros((S,), bool)
+    for s in range(n_tracks):
+        point = np.array([rng.uniform(-1, 1), rng.uniform(-1, 1), rng.uniform(3, 8)])
+        o, m = _observe(state, point, n_obs_each[s], noise=1e-4, seed=seed + s)
+        obs[s], masks[s], pts[s], ok[s] = np.asarray(o), np.asarray(m), point, True
+    return state, jnp.asarray(obs), jnp.asarray(masks), jnp.asarray(pts), jnp.asarray(ok)
+
+
+def test_gated_row_stack_matches_unchunked():
+    """ADVICE r2: chunked gated_row_stack must equal the vmap + stack_rows
+    path for several chunk sizes (incl. non-divisors) and an overflow case.
+
+    Row order may differ (the EKF update is invariant to row permutations of
+    [H|r]); compare the permutation-invariant sufficient statistics HᵀH, Hᵀr
+    plus exact gate verdicts and drop counts.
+    """
+    import dataclasses
+
+    g = jnp.asarray([0.0, 0.0, -9.81])
+    sigma2 = jnp.asarray(CFG.u_var_prime)
+
+    n_tracks = 12
+    n_obs = [2 + (i % 7) for i in range(n_tracks)]
+    state, obs, masks, pts, ok = _staged_fixture(n_tracks, n_obs)
+    window, P = state.window, state.P
+
+    # Unchunked reference: per-track rows -> batched gate -> global compaction.
+    H_all, r_all, rv_all = jax.vmap(
+        lambda o, m, p: upd.track_projected_rows(o, m, p, window, g, CFG)
+    )(obs, masks, pts)
+    dof = jnp.sum(masks, axis=1).astype(jnp.int32) - 1
+    gate_ref = upd.gating_test_all(H_all, r_all, P, dof, sigma2, CFG)
+    rm = rv_all & (ok & gate_ref)[:, None]
+    H_ref, r_ref, drop_ref = upd.stack_rows(H_all * rm[:, :, None], r_all * rm, rm, CFG)
+
+    for chunk in (3, 4, 5, 8, 32):
+        cfg = dataclasses.replace(
+            CFG, shapes=dataclasses.replace(CFG.shapes, staged_chunk=chunk)
+        )
+        H, r, gate_ok, rows_present, dropped = upd.gated_row_stack(
+            obs, masks, pts, ok, window, g, P, sigma2, cfg
+        )
+        np.testing.assert_array_equal(np.asarray(gate_ok), np.asarray(gate_ref))
+        np.testing.assert_array_equal(
+            np.asarray(rows_present), np.asarray(jnp.any(rm, axis=1))
+        )
+        assert int(dropped) == int(drop_ref)
+        np.testing.assert_allclose(
+            np.asarray(H.T @ H), np.asarray(H_ref.T @ H_ref), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(H.T @ r), np.asarray(H_ref.T @ r_ref), atol=1e-9
+        )
+
+
+def test_gated_row_stack_overflow_drops_consistently():
+    """Overflow (> max_update_rows) must report identical drop counts and keep
+    exactly R_MAX rows in both paths."""
+    import dataclasses
+
+    g = jnp.asarray([0.0, 0.0, -9.81])
+    sigma2 = jnp.asarray(CFG.u_var_prime)
+
+    # Force overflow with a tiny row budget.
+    small = dataclasses.replace(
+        CFG, shapes=dataclasses.replace(CFG.shapes, max_update_rows=24, staged_chunk=5)
+    )
+    n_tracks = 10
+    n_obs = [6] * n_tracks  # 2*6-3 = 9 rows/track >> 24 total budget
+    state, obs, masks, pts, ok = _staged_fixture(n_tracks, n_obs, seed=3)
+    window, P = state.window, state.P
+
+    H_all, r_all, rv_all = jax.vmap(
+        lambda o, m, p: upd.track_projected_rows(o, m, p, window, g, small)
+    )(obs, masks, pts)
+    dof = jnp.sum(masks, axis=1).astype(jnp.int32) - 1
+    gate_ref = upd.gating_test_all(H_all, r_all, P, dof, sigma2, small)
+    rm = rv_all & (ok & gate_ref)[:, None]
+    _, _, drop_ref = upd.stack_rows(H_all * rm[:, :, None], r_all * rm, rm, small)
+
+    H, r, gate_ok, _rp, dropped = upd.gated_row_stack(
+        obs, masks, pts, ok, window, g, P, sigma2, small
+    )
+    assert int(drop_ref) > 0
+    assert int(dropped) == int(drop_ref)
+    assert H.shape[0] == 24
+    # every kept row is a real row (nonzero) since overflow means a full buffer
+    assert float(jnp.min(jnp.sum(H * H, axis=1))) > 0.0
