@@ -152,9 +152,20 @@ def finish(state: FilterState, config: MsckfConfig) -> FilterState:
     The per-update staging buffer holds ``max_staged`` tracks, so this loops
     ⌈max_tracks/max_staged⌉ passes; passes with nothing staged are identity
     updates (all rows masked), so running the fixed worst-case count is safe.
+
+    The steady-state row budget (``max_update_rows``) is sized for the ~1
+    track/frame steady state; finish() force-residualizes up to ``max_staged``
+    long tracks per pass, so it runs with the budget raised to the worst case
+    (a separately-jitted program — config is static, state shapes unchanged).
     """
+    import dataclasses
+
     shp = config.shapes
     n_passes = -(-shp.max_tracks // shp.max_staged)
+    worst_rows = shp.max_staged * (2 * shp.num_slots - 3)
+    config = dataclasses.replace(
+        config, shapes=dataclasses.replace(shp, max_update_rows=worst_rows)
+    )
 
     with jax.default_matmul_precision(config.filter.matmul_precision):
         for _ in range(n_passes):

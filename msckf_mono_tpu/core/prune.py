@@ -153,10 +153,12 @@ def prune_redundant_states(state: FilterState, config: MsckfConfig) -> FilterSta
 
     # Projected rows over the involved observations only (chunked over the
     # candidate axis — see update.gated_row_stack for the memory rationale).
-    H, r, gate_ok, _rows_present, n_rows_dropped = gated_row_stack(
+    out = gated_row_stack(
         c_obs, c_mask_inv, p_use, use_track, window, g, state.P, sigma2, config
     )
-    state = measurement_update(state, H, r, sigma2, config)
+    H, r, gate_ok, _rows_present, n_rows_dropped = out[:5]
+    V = out[5] if config.filter.use_anisotropic_r else None
+    state = measurement_update(state, H, r, sigma2, config, V=V)
 
     # Persist newly-cached triangulations back into the (un-permuted) table.
     init_scatter = jnp.zeros_like(tracks.initialized).at[order].set(newly_init)

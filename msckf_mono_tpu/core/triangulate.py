@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from msckf_mono_tpu.ops.linalg import solve3x3
+from msckf_mono_tpu.ops.linalg import bmm_small, bmv, solve3x3
 from msckf_mono_tpu.utils import quat
 
 
@@ -69,8 +69,8 @@ def _relative_poses(obs_mask, q_CG, p_C_G):
     R_cw = jnp.swapaxes(quat.to_rotmat(q_CG), -1, -2)  # (N,3,3)
     A0, t0 = R_cw[i0], p_C_G[i0]
     # T_i⁻¹ ∘ T_0: A = R_cw_iᵀ A0, t = R_cw_iᵀ (t0 - p_i)
-    A = jnp.einsum("nij,jk->nik", jnp.swapaxes(R_cw, -1, -2), A0)
-    t = jnp.einsum("nij,nj->ni", jnp.swapaxes(R_cw, -1, -2), t0[None, :] - p_C_G)
+    A = bmm_small(jnp.swapaxes(R_cw, -1, -2), jnp.broadcast_to(A0, R_cw.shape))
+    t = bmv(jnp.swapaxes(R_cw, -1, -2), t0[None, :] - p_C_G)
     return A, t, A0, t0
 
 
@@ -87,16 +87,34 @@ def _initial_guess(A_last, t_last, z_first, z_last):
 
 def _total_cost(A, t, obs, obs_mask, x):
     """Masked sum of squared reprojection residuals (msckf.h:1027-1047)."""
-    h = jnp.einsum("nij,j->ni", A, jnp.array([x[0], x[1], 1.0], dtype=x.dtype)) + x[2] * t
+    h = bmv(A, jnp.stack([x[0], x[1], jnp.ones_like(x[0])])) + x[2] * t
     z_hat = h[:, 0:2] / h[:, 2:3]
     e = jnp.sum((z_hat - obs) ** 2, axis=-1)
     return jnp.sum(jnp.where(obs_mask, e, 0.0))
 
 
+def _total_cost_multi(A, t, obs, obs_mask, X):
+    """Costs for K candidate solutions X (K, 3) in one fused pass.
+
+    Evaluating the LM lambda-trial candidates one-vmapped-at-a-time made XLA
+    re-read A/t per candidate as a convolution fusion (round-3 trace: the
+    single hottest triangulation op); one broadcast pass over (N, 3, K)
+    keeps it a loop fusion with A read once.
+    """
+    M = jnp.stack([X[:, 0], X[:, 1], jnp.ones_like(X[:, 0])], axis=0)  # (3, K)
+    h = (
+        jnp.sum(A[:, :, :, None] * M[None, None, :, :], axis=2)
+        + t[:, :, None] * X[None, None, :, 2]
+    )  # (N, 3, K)
+    z_hat = h[:, 0:2, :] / h[:, 2:3, :]
+    e = jnp.sum((z_hat - obs[:, :, None]) ** 2, axis=1)                # (N, K)
+    return jnp.sum(jnp.where(obs_mask[:, None], e, 0.0), axis=0)       # (K,)
+
+
 def _accumulate_normal_eqs(A, t, obs, obs_mask, x):
     """Masked Huber-weighted JᵀJ, Jᵀr accumulation (msckf.h:1201-1216, 1287-1323)."""
     dtype = x.dtype
-    h = jnp.einsum("nij,j->ni", A, jnp.array([x[0], x[1], 1.0], dtype=dtype)) + x[2] * t
+    h = bmv(A, jnp.stack([x[0], x[1], jnp.ones_like(x[0])])) + x[2] * t
     h1, h2, h3 = h[:, 0], h[:, 1], h[:, 2]
 
     # W = [A[:, :, 0:2], t]  (3x3 per obs); J rows from quotient rule.
@@ -153,7 +171,7 @@ def initialize_position(obs, obs_mask, q_CG, p_C_G, max_gn_cost_norm):
         dampers = lams[:, None, None] * jnp.eye(3, dtype=dtype)          # (11,3,3)
         deltas = solve3x3(JtJ[None] + dampers, Jtr[None])                # (11,3)
         cands = solution[None, :] - deltas                               # (11,3)
-        costs = jax.vmap(lambda x: _total_cost(A, t, obs, obs_mask, x))(cands)
+        costs = _total_cost_multi(A, t, obs, obs_mask, cands)
         reduces = costs < total_cost                                      # (11,)
         any_red = jnp.any(reduces)
         first = jnp.argmax(reduces)                                       # first accepted trial
@@ -190,7 +208,7 @@ def initialize_position(obs, obs_mask, q_CG, p_C_G, max_gn_cost_norm):
     )
 
     # Cheirality in every observing view (msckf.h:1257-1265).
-    pos_in_view = jnp.einsum("nij,j->ni", A, final_position) + t
+    pos_in_view = bmv(A, jnp.broadcast_to(final_position, t.shape)) + t
     cheirality = jnp.all(jnp.where(obs_mask, pos_in_view[:, 2] > 0, True))
 
     m = jnp.sum(obs_mask)

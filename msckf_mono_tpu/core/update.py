@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from msckf_mono_tpu.core.types import FilterState, StagedTracks
 from msckf_mono_tpu.core import triangulate
 from msckf_mono_tpu.ops import psd_pallas
-from msckf_mono_tpu.ops.linalg import null_project_3
+from msckf_mono_tpu.ops.linalg import bmm_small, bmv, null_project_3
 from msckf_mono_tpu.utils import quat
 from msckf_mono_tpu.utils.chi2 import chi2_gate_table
 from msckf_mono_tpu.utils.config import MsckfConfig
@@ -38,9 +38,16 @@ from msckf_mono_tpu.utils.config import MsckfConfig
 def track_projected_rows(obs, obs_mask, p_f_G, window, g, config: MsckfConfig):
     """Nullspace-projected measurement rows for ONE track.
 
-    Returns (H_o ((2N-3), D), r_o (2N-3,), rows_valid (2N-3,)).
+    Returns (H_o ((2N-3), D), r_o (2N-3,), rows_valid (2N-3,), V).
     Mirrors msckf.h:905-978 including the per-observation observability
     constraint A - A·u(uᵀu)⁻¹uᵀ.
+
+    V is None unless ``filter.use_anisotropic_r``: then it is the ((2N-3), N)
+    projection of the v-row indicator columns, giving the track's exact
+    projected noise R_o = A_jᵀ diag(u_var', v_var') A_j (msckf.h:411-431) as
+    σu²·I + (σv²-σu²)·V Vᵀ (the projection rows are orthonormal; reflector
+    support analysis keeps masked-row parity exact once V's invalid rows are
+    zeroed).
     """
     dtype = obs.dtype
     N = obs_mask.shape[0]
@@ -52,9 +59,7 @@ def track_projected_rows(obs, obs_mask, p_f_G, window, g, config: MsckfConfig):
     # reference has no such guard but also dies less gracefully there. The
     # sort-by-validity keeps the zero rows of H_f contiguous at the bottom,
     # which the QR-nullspace row compaction relies on.
-    depth_all = jnp.einsum(
-        "nij,nj->ni", quat.to_rotmat(window.q_CG), p_f_G[None, :] - window.p_C_G
-    )[:, 2]
+    depth_all = bmv(quat.to_rotmat(window.q_CG), p_f_G[None, :] - window.p_C_G)[:, 2]
     eff_mask = obs_mask & (depth_all > 1e-2)
 
     order = jnp.argsort(jnp.logical_not(eff_mask), stable=True)
@@ -67,7 +72,7 @@ def track_projected_rows(obs, obs_mask, p_f_G, window, g, config: MsckfConfig):
 
     R = quat.to_rotmat(q)                                # (N,3,3)
     dp = p_f_G[None, :] - p                              # (N,3)
-    p_f_C = jnp.einsum("nij,nj->ni", R, dp)              # (N,3)
+    p_f_C = bmv(R, dp)                                   # (N,3)
     X, Y, Z = p_f_C[:, 0], p_f_C[:, 1], jnp.where(valid, p_f_C[:, 2], 1.0)
     Z = jnp.where(jnp.abs(Z) > 1e-8, Z, 1.0)
 
@@ -81,16 +86,15 @@ def track_projected_rows(obs, obs_mask, p_f_G, window, g, config: MsckfConfig):
     )  # (N,2,3)
 
     A = jnp.concatenate(
-        [jnp.einsum("nab,nbc->nac", J, quat.skew(p_f_C)), -jnp.einsum("nab,nbc->nac", J, R)],
-        axis=-1,
+        [bmm_small(J, quat.skew(p_f_C)), -bmm_small(J, R)], axis=-1
     )  # (N,2,6)
 
     u = jnp.concatenate(
-        [jnp.einsum("nij,j->ni", R, g), jnp.einsum("nij,nj->ni", quat.skew(dp), jnp.broadcast_to(g, dp.shape))],
+        [bmv(R, jnp.broadcast_to(g, dp.shape)), bmv(quat.skew(dp), jnp.broadcast_to(g, dp.shape))],
         axis=-1,
     )  # (N,6)
     uu = jnp.sum(u * u, axis=-1, keepdims=True)          # (N,1)
-    Au = jnp.einsum("nab,nb->na", A, u)                   # (N,2)
+    Au = bmv(A, u)                                        # (N,2)
     H_x6 = A - Au[:, :, None] * (u / jnp.maximum(uu, 1e-20))[:, None, :]  # (N,2,6)
     H_f = -H_x6[:, :, 3:6]                                # (N,2,3)
 
@@ -115,15 +119,24 @@ def track_projected_rows(obs, obs_mask, p_f_G, window, g, config: MsckfConfig):
     # Left-nullspace projection via three explicit Householder reflectors on
     # [H_x | r] (replaces full-U SVD, msckf.h:954-957 — any orthonormal basis
     # gives the identical update; see ops/linalg.null_project_3).
-    Xr = jnp.concatenate([H_x, r_rows[:, None]], axis=1)  # (2N, D+1)
-    proj = null_project_3(H_f_rows, Xr)                   # (2N-3, D+1)
+    cols = [H_x, r_rows[:, None]]
+    if config.filter.use_anisotropic_r:
+        # v-row indicator columns I_odd (row 2i+1 marks obs i's v residual)
+        cols.append(
+            (jnp.arange(2 * N)[:, None] == 2 * jnp.arange(N)[None, :] + 1).astype(dtype)
+        )
+    Xr = jnp.concatenate(cols, axis=1)                    # (2N, D+1[+N])
+    proj = null_project_3(H_f_rows, Xr)                   # (2N-3, D+1[+N])
     H_o = proj[:, :D]
     r_o = proj[:, D]
 
     rows_valid = jnp.arange(2 * N - 3) < jnp.maximum(2 * m - 3, 0)
     H_o = H_o * rows_valid[:, None]
     r_o = r_o * rows_valid
-    return H_o, r_o, rows_valid
+    V = None
+    if config.filter.use_anisotropic_r:
+        V = proj[:, D + 1 :] * rows_valid[:, None]
+    return H_o, r_o, rows_valid, V
 
 
 def _psd_solve(S, b):
@@ -185,7 +198,8 @@ def gated_row_stack(obs, obs_mask, p_f, track_ok, window, g, P, sigma2,
     S=64 (measured OOM, round 2); chunked at C=8 it needs ~1.5 GB.
 
     Returns (H (R_MAX, D), r (R_MAX,), gate_ok (S,), rows_present (S,),
-    n_dropped). ``rows_present[s]`` is True iff track s contributed at least
+    n_dropped[, V (R_MAX, N) when ``use_anisotropic_r``]).
+    ``rows_present[s]`` is True iff track s contributed at least
     one valid row (its gate passed AND it produced non-masked projected rows —
     a track whose observations all fail the depth guard yields zero rows even
     with a trivially-passing gate).
@@ -194,6 +208,8 @@ def gated_row_stack(obs, obs_mask, p_f, track_ok, window, g, P, sigma2,
     R = 2 * N - 3
     D = config.shapes.state_dim
     R_MAX = config.shapes.max_update_rows
+    aniso = config.filter.use_anisotropic_r
+    W = D + 1 + (N if aniso else 0)
     C = min(config.shapes.staged_chunk, S)
     while S % C:
         C -= 1
@@ -211,24 +227,26 @@ def gated_row_stack(obs, obs_mask, p_f, track_ok, window, g, P, sigma2,
     )
 
     # Padded buffer: writes at offset `count` (≤ R_MAX) of C·R rows always
-    # fit; rows landing beyond R_MAX are the dropped overflow. H and r ride
-    # one array so each chunk costs a single sort + gather + DUS.
+    # fit; rows landing beyond R_MAX are the dropped overflow. H, r (and the
+    # projected v-noise columns V when anisotropic) ride one array so each
+    # chunk costs a single sort + gather + DUS.
     # Carry inits derive from the data (not fresh constants) so their
     # varying-axis status matches the loop outputs under shard_map.
     zf = obs.ravel()[0] * 0
     zi = dof[0] * 0
-    buf = jnp.zeros((R_MAX + C * R, D + 1), dtype) + zf
+    buf = jnp.zeros((R_MAX + C * R, W), dtype) + zf
     carry0 = (buf, zi, zi)
 
     def body(carry, x):
         buf, count, total = carry
         o, m, pf, ok, df = x
-        H_c, r_c, rv_c = jax.vmap(
+        H_c, r_c, rv_c, V_c = jax.vmap(
             lambda oo, mm, pp: track_projected_rows(oo, mm, pp, window, g, config)
         )(o, m, pf)
         gate_c = gating_test_all(H_c, r_c, P, df, sigma2, config)
         rm = rv_c & (ok & gate_c)[:, None]
-        rows = jnp.concatenate([H_c, r_c[..., None]], axis=-1).reshape(C * R, D + 1)
+        cols = [H_c, r_c[..., None]] + ([V_c] if aniso else [])
+        rows = jnp.concatenate(cols, axis=-1).reshape(C * R, W)
         rmf = rm.reshape(C * R)
         order = jnp.argsort(jnp.logical_not(rmf), stable=True)
         rows = rows[order] * rmf[order][:, None]
@@ -241,7 +259,10 @@ def gated_row_stack(obs, obs_mask, p_f, track_ok, window, g, P, sigma2,
     H = buf[:R_MAX, :D]
     r = buf[:R_MAX, D]
     n_dropped = jnp.maximum(total - R_MAX, 0).astype(jnp.int32)
-    return H, r, gate_ok.reshape(S), rows_present.reshape(S), n_dropped
+    out = (H, r, gate_ok.reshape(S), rows_present.reshape(S), n_dropped)
+    if aniso:
+        out = out + (buf[:R_MAX, D + 1 :],)
+    return out
 
 
 def stack_rows(H_all, r_all, row_masks, config: MsckfConfig):
@@ -304,7 +325,8 @@ def compress_rows(H, r):
     return T_H, r_n
 
 
-def measurement_update(state: FilterState, H, r, sigma2, config: MsckfConfig) -> FilterState:
+def measurement_update(state: FilterState, H, r, sigma2, config: MsckfConfig,
+                       V=None) -> FilterState:
     """EKF update (msckf.h:1325-1423): Kalman gain via a Cholesky solve,
     multiplicative correction, Joseph-form covariance.
 
@@ -316,21 +338,32 @@ def measurement_update(state: FilterState, H, r, sigma2, config: MsckfConfig) ->
     cheaper at (384×183)). Zero padding rows contribute exact σ² diagonals
     and zero gain. Set ``FilterConfig.use_qr_compression`` for the
     reference-shaped path.
+
+    ``V`` (rows, N): projected v-row coefficients; when given (anisotropic-R
+    parity mode), the noise is R_n = σu²I + (σv²-σu²)VVᵀ — exactly the
+    reference's R_o (msckf.h:411-431, basis-invariant).
     """
     dtype = H.dtype
     D = H.shape[1]
     P = state.P
 
     if config.filter.use_qr_compression:
+        assert V is None, "QR compression and anisotropic R are mutually exclusive"
         H, r = compress_rows(H, r)  # (k, D), k = min(rows, D)
 
     S_mat = H @ P @ H.T + sigma2 * jnp.eye(H.shape[0], dtype=dtype)
+    if V is not None:
+        dv = jnp.asarray(config.v_var_prime - config.u_var_prime, dtype)
+        S_mat = S_mat + dv * (V @ V.T)
     # K = P Hᵀ S⁻¹ via Cholesky (see _psd_solve for the TPU rationale).
     K = _psd_solve(S_mat, H @ P).T
     deltaX = K @ r
 
     IKH = jnp.eye(D, dtype=dtype) - K @ H
     P_new = IKH @ P @ IKH.T + sigma2 * (K @ K.T)
+    if V is not None:
+        KV = K @ V
+        P_new = P_new + dv * (KV @ KV.T)
     P_new = 0.5 * (P_new + P_new.T)
 
     state = apply_correction(state, deltaX, config)
@@ -371,12 +404,14 @@ def marginalize(state: FilterState, staged: StagedTracks, config: MsckfConfig) -
     track_ok = motion_ok & tri_ok
     p_f_G = jnp.nan_to_num(p_f_G, nan=0.0, posinf=0.0, neginf=0.0)
 
-    H, r, gate_ok, rows_present, n_dropped = gated_row_stack(
+    out = gated_row_stack(
         staged.obs, staged.obs_mask, p_f_G, track_ok, window, g, state.P,
         sigma2, config,
     )
+    H, r, gate_ok, rows_present, n_dropped = out[:5]
+    V = out[5] if config.filter.use_anisotropic_r else None
 
-    state = measurement_update(state, H, r, sigma2, config)
+    state = measurement_update(state, H, r, sigma2, config, V=V)
     any_rows = jnp.any(rows_present)
 
     diag = state.diag.replace(

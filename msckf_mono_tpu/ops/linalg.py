@@ -70,3 +70,24 @@ def null_project_3(H_f: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
         M = M - scale * jnp.outer(v, v @ M)
         X = X - scale * jnp.outer(v, v @ X)
     return X[3:]
+
+
+def bmv(A: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """(..., m, k) @ (..., k) -> (..., m) as broadcast-multiply-sum.
+
+    For tiny contractions (k <= 6) XLA lowers ``einsum``/``dot_general`` to a
+    convolution fusion that runs HBM-bound at ~100 GFLOP/s on TPU (round-3
+    trace: the "convolution fusion" category was 19% of the frame step, all
+    of it 3-wide matvecs). The explicit broadcast+reduce form fuses into the
+    surrounding elementwise work instead.
+    """
+    return jnp.sum(A * v[..., None, :], axis=-1)
+
+
+def bmm_small(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """(..., m, k) @ (..., k, n) -> (..., m, n) as broadcast-multiply-sum.
+
+    Same rationale as :func:`bmv`; only for k <= ~8 (the materialized
+    (..., m, k, n) intermediate is tiny there).
+    """
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)

@@ -84,12 +84,41 @@ def _gamma_kernel(S_ref, r_ref, out_ref, A_ref, L_ref, b_ref, *, R: int):
     out_ref[:] = jnp.broadcast_to(gamma[None, :], (8, LANES))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def gamma_psd(Smat: jnp.ndarray, r: jnp.ndarray, interpret: bool = False):
     """γ_i = r_iᵀ S_i⁻¹ r_i batched over leading axes.
 
     Smat: (..., R, R); r: (..., R). Returns (...,).
+
+    vmap-safe: a ``custom_vmap`` rule folds any vmapped batch axis into the
+    kernel's lane dimension. Without it, vmap's pallas batching rule prepends
+    a grid axis per batch element, so each filter's handful of systems gets
+    padded to a full 128-lane block (measured: ~94% padding and ~90 ms/frame
+    at batch 256 where the folded form costs ~6 ms).
     """
+    if interpret:
+        return _gamma_impl(Smat, r, True)
+    return _gamma_cv(Smat, r)
+
+
+@jax.custom_batching.custom_vmap
+def _gamma_cv(Smat: jnp.ndarray, r: jnp.ndarray):
+    return _gamma_impl(Smat, r, False)
+
+
+@_gamma_cv.def_vmap
+def _gamma_cv_vmap(axis_size, in_batched, Smat, r):
+    s_b, r_b = in_batched
+    if not s_b:
+        Smat = jnp.broadcast_to(Smat[None], (axis_size,) + Smat.shape)
+    if not r_b:
+        r = jnp.broadcast_to(r[None], (axis_size,) + r.shape)
+    # The implementation flattens ALL leading dims into lanes, so the batch
+    # axis rides along for free (and nested vmaps recurse into this rule).
+    return _gamma_cv(Smat, r), True
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _gamma_impl(Smat: jnp.ndarray, r: jnp.ndarray, interpret: bool = False):
     batch_shape = Smat.shape[:-2]
     R = Smat.shape[-1]
     Rp = _round_up(R, 8)

@@ -96,6 +96,12 @@ class FilterConfig:
 
     # Reference quirks, individually toggleable:
     chi2_offbyone: bool = True             # msckf.h:1117 table[dof+1]
+    # Exact anisotropic measurement noise R_o = A_jᵀ diag(u_var', v_var') A_j
+    # (msckf.h:411-431). Off by default: u_var' and v_var' differ by <1% on
+    # EuRoC and the isotropic path saves carrying the projected v-row
+    # coefficients through the row stack. The GATE stays isotropic u_var'
+    # either way (msckf.h:1114 uses u_var_prime only).
+    use_anisotropic_r: bool = False
     # NOTE: the reference loader stores the "keyframe_transl_dist" launch key
     # into redundancy_angle_thresh and "keyframe_rot_dist" into
     # redundancy_distance_thresh (asl_msckf.cpp:112-113) — the fields above
@@ -118,8 +124,17 @@ class ShapeConfig:
     num_slots: int = 28            # camera-state window slots (max_cam_states + headroom)
     max_tracks: int = 128          # live feature-track rows
     max_staged: int = 32           # tracks residualized per frame step
-    max_staged_prune: int = 64     # candidate buffer of the redundant-prune update
-    max_update_rows: int = 384     # row budget of the stacked EKF update
+    max_staged_prune: int = 48     # candidate buffer of the redundant-prune update
+    #   (was 64; the round-3 TPU trace showed the prune path's 64-candidate
+    #   triangulation + row sweep dominating the frame step. Overflowing
+    #   candidates are dropped and counted in diag.staged_overflow — 48 drops
+    #   ~0 on the EuRoC-scale synthetic world where 32 dropped ~5/frame.)
+    max_update_rows: int = 192     # row budget of the stacked EKF update
+    #   (was 384; ~0.9 tracks residualize per frame => typical stacked rows
+    #   ~10-20, and the (R_MAX x R_MAX) cholesky was 16% of device time on
+    #   the round-3 trace. 192 keeps diag.row_overflow at exactly 0 on the
+    #   synthetic e2e (128 dropped 85 rows); core/filter.finish raises the
+    #   budget to the worst case for its force-residualize loop.)
     staged_chunk: int = 8          # staged tracks per gated_row_stack scan step
     #   (bounds peak HBM of the dense per-track Jacobians: ~C·(2N-3)·D floats
     #   per filter instead of S·(2N-3)·D; 8 keeps batch-1024 under ~2 GB)

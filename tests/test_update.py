@@ -62,7 +62,7 @@ def test_projected_rows_nullspace_property():
     obs, mask = _observe(state, point, 8)
     g = state.imu.g
 
-    H_o, r_o, rows_valid = upd.track_projected_rows(
+    H_o, r_o, rows_valid, _V = upd.track_projected_rows(
         obs, mask, jnp.asarray(point), state.window, g, CFG
     )
     H_o, r_o = np.asarray(H_o), np.asarray(r_o)
@@ -92,10 +92,10 @@ def test_projected_rows_residual_consistency():
         p_C_G=state.window.p_C_G.at[2].add(jnp.asarray(dp))
     )
 
-    H_o, r_o, _ = upd.track_projected_rows(
+    H_o, r_o, _, _V = upd.track_projected_rows(
         obs, mask, jnp.asarray(point), state.window, g, CFG
     )
-    H_o2, r_o2, _ = upd.track_projected_rows(
+    H_o2, r_o2, _, _V2 = upd.track_projected_rows(
         obs, mask, jnp.asarray(point), window2, g, CFG
     )
     # residual after perturbation ≈ r - H delta in each basis; bases differ only
@@ -112,7 +112,7 @@ def test_gating_accepts_consistent_rejects_inconsistent():
     g = state.imu.g
 
     obs, mask = _observe(state, point, 8, noise=np.sqrt(sigma2) * 0.5)
-    H_o, r_o, rv = upd.track_projected_rows(
+    H_o, r_o, rv, _V = upd.track_projected_rows(
         obs, mask, jnp.asarray(point), state.window, g, CFG
     )
     ok = upd.gating_test(H_o, r_o, rv, state.P, 7, sigma2, CFG)
@@ -122,7 +122,7 @@ def test_gating_accepts_consistent_rejects_inconsistent():
     # residual survives the nullspace projection and must be gated out.
     rng = np.random.default_rng(9)
     obs_bad = jnp.asarray(np.asarray(obs) + rng.normal(size=obs.shape) * 0.05 * np.asarray(mask)[:, None])
-    H_b, r_b, rv_b = upd.track_projected_rows(
+    H_b, r_b, rv_b, _Vb = upd.track_projected_rows(
         obs_bad, mask, jnp.asarray(point), state.window, g, CFG
     )
     ok_bad = upd.gating_test(H_b, r_b, rv_b, state.P, 7, sigma2, CFG)
@@ -145,7 +145,7 @@ def test_measurement_update_reduces_uncertainty_and_error():
     true_state = state.replace(window=true_window)
     obs, mask = _observe(true_state, point, 8)
 
-    H_o, r_o, rv = upd.track_projected_rows(
+    H_o, r_o, rv, _V = upd.track_projected_rows(
         obs, mask, jnp.asarray(point), state.window, g, CFG
     )
     S = CFG.shapes.max_staged
@@ -259,7 +259,7 @@ def test_gated_row_stack_matches_unchunked():
     window, P = state.window, state.P
 
     # Unchunked reference: per-track rows -> batched gate -> global compaction.
-    H_all, r_all, rv_all = jax.vmap(
+    H_all, r_all, rv_all, _ = jax.vmap(
         lambda o, m, p: upd.track_projected_rows(o, m, p, window, g, CFG)
     )(obs, masks, pts)
     dof = jnp.sum(masks, axis=1).astype(jnp.int32) - 1
@@ -304,7 +304,7 @@ def test_gated_row_stack_overflow_drops_consistently():
     state, obs, masks, pts, ok = _staged_fixture(n_tracks, n_obs, seed=3)
     window, P = state.window, state.P
 
-    H_all, r_all, rv_all = jax.vmap(
+    H_all, r_all, rv_all, _ = jax.vmap(
         lambda o, m, p: upd.track_projected_rows(o, m, p, window, g, small)
     )(obs, masks, pts)
     dof = jnp.sum(masks, axis=1).astype(jnp.int32) - 1
@@ -320,3 +320,118 @@ def test_gated_row_stack_overflow_drops_consistently():
     assert H.shape[0] == 24
     # every kept row is a real row (nonzero) since overflow means a full buffer
     assert float(jnp.min(jnp.sum(H * H, axis=1))) > 0.0
+
+
+def test_anisotropic_r_matches_reference_formulation():
+    """use_anisotropic_r must reproduce the reference's exact update with
+    R_o = A_jᵀ diag(u_var', v_var') A_j (msckf.h:411-431), computed here
+    independently via an SVD nullspace basis (the update is basis-invariant).
+    """
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, filter=dataclasses.replace(CFG.filter, use_anisotropic_r=True)
+    )
+    # Make the anisotropy pronounced so the test can't pass by accident.
+    cfg = dataclasses.replace(
+        cfg, camera=dataclasses.replace(cfg.camera, f_v=cfg.camera.f_u * 0.5)
+    )
+    assert abs(cfg.v_var_prime - cfg.u_var_prime) > 1e-6
+
+    state = _state_with_window(8, seed=9)
+    g = jnp.asarray([0.0, 0.0, -9.81])
+    point = np.array([0.3, -0.2, 6.0])
+    n_obs = 6
+    obs, mask = _observe(state, point, n_obs, noise=1e-3, seed=4)
+
+    # ---- our path: projected rows + low-rank R_o in measurement_update ----
+    H_o, r_o, rv, V = upd.track_projected_rows(
+        obs, mask, jnp.asarray(point), state.window, g, cfg
+    )
+    ours = upd.measurement_update(
+        state, H_o * rv[:, None], r_o * rv, jnp.asarray(cfg.u_var_prime), cfg,
+        V=V * rv[:, None],
+    )
+
+    # ---- reference-style: explicit SVD nullspace + dense R_o ----
+    # Rebuild H_x/H_f/r over the real observations only, mirroring
+    # msckf.h:905-978 (same math as track_projected_rows pre-projection).
+    from msckf_mono_tpu.utils import quat as q
+
+    Rm = np.stack([np.asarray(q.to_rotmat(state.window.q_CG[i])) for i in range(n_obs)])
+    p = np.asarray(state.window.p_C_G[:n_obs])
+    dp = point[None, :] - p
+    p_f_C = np.einsum("nij,nj->ni", Rm, dp)
+    X, Y, Z = p_f_C[:, 0], p_f_C[:, 1], p_f_C[:, 2]
+    inv_z = 1.0 / Z
+    J = np.zeros((n_obs, 2, 3))
+    J[:, 0, 0] = inv_z
+    J[:, 0, 2] = -X * inv_z**2
+    J[:, 1, 1] = inv_z
+    J[:, 1, 2] = -Y * inv_z**2
+
+    def skew(v):
+        return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+
+    gnp = np.asarray(g)
+    A = np.concatenate(
+        [np.einsum("nab,nbc->nac", J, np.stack([skew(v) for v in p_f_C])),
+         -np.einsum("nab,nbc->nac", J, Rm)], axis=-1)
+    u = np.concatenate(
+        [np.einsum("nij,j->ni", Rm, gnp),
+         np.einsum("nij,j->ni", np.stack([skew(v) for v in dp]), gnp)], axis=-1)
+    uu = np.sum(u * u, axis=-1, keepdims=True)
+    Au = np.einsum("nab,nb->na", A, u)
+    H_x6 = A - Au[:, :, None] * (u / uu)[:, None, :]
+    H_f = -H_x6[:, :, 3:6].reshape(2 * n_obs, 3)
+    D_ = cfg.shapes.state_dim
+    H_x = np.zeros((2 * n_obs, D_))
+    for n in range(n_obs):
+        H_x[2 * n : 2 * n + 2, 15 + 6 * n : 15 + 6 * n + 6] = H_x6[n]
+    z_hat = np.stack([X * inv_z, Y * inv_z], axis=-1)
+    r_full = (np.asarray(obs)[:n_obs] - z_hat).reshape(2 * n_obs)
+
+    U, sv, _ = np.linalg.svd(H_f, full_matrices=True)
+    A_j = U[:, 3:]                       # (2m, 2m-3)
+    H_o_ref = A_j.T @ H_x
+    r_o_ref = A_j.T @ r_full
+    rep = np.tile([cfg.u_var_prime, cfg.v_var_prime], n_obs)
+    R_o_ref = A_j.T @ np.diag(rep) @ A_j
+
+    P = np.asarray(state.P)
+    S = H_o_ref @ P @ H_o_ref.T + R_o_ref
+    K = P @ H_o_ref.T @ np.linalg.inv(S)
+    dx_ref = K @ r_o_ref
+    IKH = np.eye(D_) - K @ H_o_ref
+    P_ref = IKH @ P @ IKH.T + K @ R_o_ref @ K.T
+
+    # Compare the position corrections and covariance.
+    dx_ours = np.asarray(ours.imu.p_I_G - state.imu.p_I_G)
+    np.testing.assert_allclose(dx_ours, dx_ref[12:15], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours.P), P_ref, atol=1e-8)
+
+
+def test_anisotropic_equals_isotropic_when_fv_eq_fu():
+    """With f_v == f_u the toggle must be a numerical no-op."""
+    import dataclasses
+
+    cfg_iso = dataclasses.replace(
+        CFG, camera=dataclasses.replace(CFG.camera, f_v=CFG.camera.f_u)
+    )
+    cfg_an = dataclasses.replace(
+        cfg_iso, filter=dataclasses.replace(cfg_iso.filter, use_anisotropic_r=True)
+    )
+    state = _state_with_window(7, seed=3)
+    g = jnp.asarray([0.0, 0.0, -9.81])
+    point = np.array([0.1, 0.4, 5.0])
+    obs, mask = _observe(state, point, 5, noise=1e-3, seed=8)
+
+    sigma2 = jnp.asarray(cfg_iso.u_var_prime)
+    H_i, r_i, rv_i, _ = upd.track_projected_rows(obs, mask, jnp.asarray(point), state.window, g, cfg_iso)
+    out_i = upd.measurement_update(state, H_i * rv_i[:, None], r_i * rv_i, sigma2, cfg_iso)
+    H_a, r_a, rv_a, V = upd.track_projected_rows(obs, mask, jnp.asarray(point), state.window, g, cfg_an)
+    out_a = upd.measurement_update(state, H_a * rv_a[:, None], r_a * rv_a, sigma2, cfg_an, V=V * rv_a[:, None])
+    np.testing.assert_allclose(np.asarray(out_a.P), np.asarray(out_i.P), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(out_a.imu.p_I_G), np.asarray(out_i.imu.p_I_G), atol=1e-12
+    )

@@ -120,7 +120,7 @@ def main():
         p_f_G, _ = tri_fn(state, staged)
         p_f_G = jnp.nan_to_num(p_f_G)
         return jax.vmap(
-            lambda o, om, pf: update.track_projected_rows(o, om, pf, w, state.imu.g, cfg)
+            lambda o, om, pf: update.track_projected_rows(o, om, pf, w, state.imu.g, cfg)[:3]
         )(staged.obs, staged.obs_mask, p_f_G)
 
     def gate_fn(state, staged):
