@@ -84,9 +84,12 @@ def step(state: FilterState, frame: FrameInput, config: MsckfConfig):
         state = tracks.add_features(
             state, frame.new_uv, frame.new_ids, frame.new_valid, config
         )
-        state = update.marginalize(state, staged, config)
-        if config.filter.use_prune_redundant:
-            state = prune.prune_redundant_states(state, config)
+        if config.filter.fused_updates and config.filter.use_prune_redundant:
+            state = _fused_vision_update(state, staged, config)
+        else:
+            state = update.marginalize(state, staged, config)
+            if config.filter.use_prune_redundant:
+                state = prune.prune_redundant_states(state, config)
         state = prune.prune_empty_states(state, config)
 
     # Padded frames leave the state untouched.
@@ -108,6 +111,45 @@ def step(state: FilterState, frame: FrameInput, config: MsckfConfig):
         num_residualized=state.num_residualized,
     )
     return state, out
+
+
+def _fused_vision_update(state: FilterState, staged, config: MsckfConfig) -> FilterState:
+    """Marginalize + redundant-prune as ONE stacked EKF update.
+
+    The staged dead tracks (msckf.h:336-449) and the prune candidates'
+    one-last-updates (msckf.h:453-682) share the projected-row machinery;
+    concatenating their staged axes runs one gate batch, one row stack and
+    one measurement update per frame instead of two of each. See
+    FilterConfig.fused_updates for the (second-order) semantic deviation.
+    """
+    dtype = state.P.dtype
+    sigma2 = jnp.asarray(config.u_var_prime, dtype)
+    window = state.window
+    g = state.imu.g
+    S_m = config.shapes.max_staged
+
+    p_f, track_ok, motion_ok, tri_ok = update.marginalize_prep(state, staged, config)
+    prep = prune.prune_prep(state, config)
+
+    obs = jnp.concatenate([staged.obs, prep["c_obs"]])
+    masks = jnp.concatenate([staged.obs_mask, prep["c_mask_inv"]])
+    p_all = jnp.concatenate([p_f, prep["p_use"]])
+    ok_all = jnp.concatenate([track_ok, prep["use_track"]])
+
+    out = update.gated_row_stack(
+        obs, masks, p_all, ok_all, window, g, state.P, sigma2, config
+    )
+    H, r, gate_ok, rows_present, n_dropped = out[:5]
+    V = out[5] if config.filter.use_anisotropic_r else None
+    state = update.measurement_update(state, H, r, sigma2, config, V=V)
+
+    state = update.marginalize_post(
+        state, staged, p_f, track_ok, motion_ok, tri_ok,
+        gate_ok[:S_m], rows_present[:S_m], n_dropped, config,
+    )
+    # row_overflow already counted once in marginalize_post.
+    zero = n_dropped * 0
+    return prune.prune_post(state, prep, gate_ok[S_m:], zero, config)
 
 
 def run_sequence(state: FilterState, frames: FrameInput, config: MsckfConfig):

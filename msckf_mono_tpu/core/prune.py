@@ -100,18 +100,16 @@ def find_redundant_slots(state: FilterState, config: MsckfConfig):
     return rm
 
 
-def prune_redundant_states(state: FilterState, config: MsckfConfig) -> FilterState:
+def prune_prep(state: FilterState, config: MsckfConfig):
+    """Redundant-slot selection + candidate compaction + triangulation (the
+    front half of msckf.h:453-682). Returns a dict of staged prune inputs."""
     fcfg = config.filter
     shp = config.shapes
-    dtype = state.P.dtype
-    sigma2 = jnp.asarray(config.u_var_prime, dtype)
     window = state.window
     tracks = state.tracks
-    g = state.imu.g
 
     run = window.count >= 20  # hardcoded in the reference (msckf.h:455)
     rm = find_redundant_slots(state, config) & run
-    any_rm = jnp.any(rm)
 
     involved = tracks.obs_mask & rm[None, :]           # (M, N)
     n_involved = jnp.sum(involved, axis=1)
@@ -119,55 +117,71 @@ def prune_redundant_states(state: FilterState, config: MsckfConfig) -> FilterSta
     # Tracks needing residualization of their involved obs (>=2 of them).
     cand = tracks.active & (n_involved >= 2)
 
+    # LM-triangulate ONLY the candidates without a cached triangulation
+    # (the reference caches too, msckf.h:488-531): measured un-initialized
+    # candidates are mean 1.4 / p90 4 per frame while ALL ~19 candidates were
+    # paying the full 11x11-trial LM sweep — the hottest block of the round-3
+    # frame-step trace. Selection happens at TABLE level so the cache
+    # write-back in prune_post is a plain mask, not a scatter.
+    T = min(shp.max_tri_prune, shp.max_tracks)
+    tri_cand = cand & ~tracks.initialized
+    torder = jnp.argsort(jnp.logical_not(tri_cand), stable=True)[:T]
+    t_valid = tri_cand[torder]
+    t_obs = tracks.obs[torder]
+    t_mask = tracks.obs_mask[torder] & t_valid[:, None]
+    motion_ok_t = jax.vmap(
+        lambda o, om: triangulate.check_motion(
+            o, om, window.q_CG, window.p_C_G, fcfg.translation_threshold
+        )
+    )(t_obs, t_mask)
+    p_new_t, tri_ok_t = jax.vmap(
+        lambda o, om: triangulate.initialize_position(
+            o, om, window.q_CG, window.p_C_G, config.max_gn_cost_norm
+        )
+    )(t_obs, t_mask)
+    ok_t = t_valid & motion_ok_t & tri_ok_t & jnp.all(jnp.isfinite(p_new_t), axis=-1)
+    p_new_t = jnp.nan_to_num(p_new_t, nan=0.0, posinf=0.0, neginf=0.0)
+    newly_init_tab = jnp.zeros_like(tracks.initialized).at[torder].set(ok_t)
+    p_new_tab = jnp.zeros_like(tracks.p_f_G).at[torder].set(
+        jnp.where(ok_t[:, None], p_new_t, 0.0)
+    )
+    n_tri_dropped = jnp.maximum(jnp.sum(tri_cand) - T, 0).astype(jnp.int32)
+
     # Compact candidate tracks into a fixed buffer. Sized separately from
     # marginalize's buffer: most live tracks observe the removed slots, so
-    # the prune path needs ~2x the headroom (32 overflows ~5 tracks/frame on
-    # the synthetic world).
+    # the prune path needs more headroom (diag.staged_overflow watches).
     S = shp.max_staged_prune
     order = jnp.argsort(jnp.logical_not(cand), stable=True)[:S]
     c_valid = cand[order]
     c_obs = tracks.obs[order]
-    c_mask_full = tracks.obs_mask[order] & c_valid[:, None]
     c_mask_inv = involved[order] & c_valid[:, None]
     c_init = tracks.initialized[order] & c_valid
-    c_pf = tracks.p_f_G[order]
+    c_new = newly_init_tab[order] & c_valid
     n_dropped_tracks = jnp.maximum(jnp.sum(cand) - S, 0).astype(jnp.int32)
 
-    # Un-initialized candidates: motion gate + triangulation over ALL their obs.
-    motion_ok = jax.vmap(
-        lambda o, om: triangulate.check_motion(
-            o, om, window.q_CG, window.p_C_G, fcfg.translation_threshold
-        )
-    )(c_obs, c_mask_full)
-    p_new, tri_ok = jax.vmap(
-        lambda o, om: triangulate.initialize_position(
-            o, om, window.q_CG, window.p_C_G, config.max_gn_cost_norm
-        )
-    )(c_obs, c_mask_full)
-    tri_ok = tri_ok & jnp.all(jnp.isfinite(p_new), axis=-1)
-    p_new = jnp.nan_to_num(p_new, nan=0.0, posinf=0.0, neginf=0.0)
+    use_track = c_valid & (c_init | c_new)
+    p_use = jnp.where(c_new[:, None], p_new_tab[order], tracks.p_f_G[order])
 
-    newly_init = c_valid & ~c_init & motion_ok & tri_ok
-    use_track = c_valid & (c_init | newly_init)
-    p_use = jnp.where(newly_init[:, None], p_new, c_pf)
-
-    # Projected rows over the involved observations only (chunked over the
-    # candidate axis — see update.gated_row_stack for the memory rationale).
-    out = gated_row_stack(
-        c_obs, c_mask_inv, p_use, use_track, window, g, state.P, sigma2, config
+    return dict(
+        rm=rm, c_obs=c_obs, c_mask_inv=c_mask_inv, p_use=p_use,
+        use_track=use_track, newly_init_tab=newly_init_tab,
+        p_new_tab=p_new_tab,
+        n_dropped_tracks=n_dropped_tracks + n_tri_dropped,
     )
-    H, r, gate_ok, _rows_present, n_rows_dropped = out[:5]
-    V = out[5] if config.filter.use_anisotropic_r else None
-    state = measurement_update(state, H, r, sigma2, config, V=V)
 
-    # Persist newly-cached triangulations back into the (un-permuted) table.
-    init_scatter = jnp.zeros_like(tracks.initialized).at[order].set(newly_init)
-    pf_scatter = jnp.zeros_like(tracks.p_f_G).at[order].set(
-        jnp.where(newly_init[:, None], p_new, 0.0)
-    )
-    tracks = state.tracks.replace(
-        initialized=state.tracks.initialized | init_scatter,
-        p_f_G=jnp.where(init_scatter[:, None], pf_scatter, state.tracks.p_f_G),
+
+def prune_post(state: FilterState, prep, gate_ok, n_rows_dropped,
+               config: MsckfConfig) -> FilterState:
+    """Cache scatter-back, involved-obs erasure, slot removal, diagnostics
+    (the back half of msckf.h:453-682)."""
+    rm = prep["rm"]
+    newly_init_tab, p_new_tab = prep["newly_init_tab"], prep["p_new_tab"]
+
+    # Persist newly-cached triangulations (already in table order).
+    tracks = state.tracks
+    tracks = tracks.replace(
+        initialized=tracks.initialized | newly_init_tab,
+        p_f_G=jnp.where(newly_init_tab[:, None], p_new_tab, tracks.p_f_G),
     )
 
     # Erase involved observations from every track (msckf.h:482-485, 498-524,
@@ -184,8 +198,29 @@ def prune_redundant_states(state: FilterState, config: MsckfConfig) -> FilterSta
 
     diag = state.diag.replace(
         row_overflow=state.diag.row_overflow + n_rows_dropped,
-        staged_overflow=state.diag.staged_overflow + n_dropped_tracks,
+        staged_overflow=state.diag.staged_overflow + prep["n_dropped_tracks"],
         gating_rejects=state.diag.gating_rejects
-        + jnp.sum(use_track & ~gate_ok).astype(jnp.int32),
+        + jnp.sum(prep["use_track"] & ~gate_ok).astype(jnp.int32),
     )
     return state.replace(diag=diag)
+
+
+def prune_redundant_states(state: FilterState, config: MsckfConfig) -> FilterState:
+    dtype = state.P.dtype
+    sigma2 = jnp.asarray(config.u_var_prime, dtype)
+    window = state.window
+    g = state.imu.g
+
+    prep = prune_prep(state, config)
+
+    # Projected rows over the involved observations only (chunked over the
+    # candidate axis — see update.gated_row_stack for the memory rationale).
+    out = gated_row_stack(
+        prep["c_obs"], prep["c_mask_inv"], prep["p_use"], prep["use_track"],
+        window, g, state.P, sigma2, config
+    )
+    H, r, gate_ok, _rows_present, n_rows_dropped = out[:5]
+    V = out[5] if config.filter.use_anisotropic_r else None
+    state = measurement_update(state, H, r, sigma2, config, V=V)
+
+    return prune_post(state, prep, gate_ok, n_rows_dropped, config)

@@ -226,16 +226,22 @@ def gated_row_stack(obs, obs_mask, p_f, track_ok, window, g, P, sigma2,
         dof.reshape(n_chunks, C),
     )
 
-    # Padded buffer: writes at offset `count` (≤ R_MAX) of C·R rows always
-    # fit; rows landing beyond R_MAX are the dropped overflow. H, r (and the
-    # projected v-noise columns V when anisotropic) ride one array so each
-    # chunk costs a single sort + gather + DUS.
+    # Row compaction into the fixed budget is a one-hot selection MATMUL:
+    # buf += Sel @ rows with Sel[j, i] = [target(i) == j], target from a
+    # cumsum of the row-keep mask offset by the carried count. Replaces the
+    # round-2 argsort + gather + dynamic_update_slice (measured ~25% of the
+    # whole frame step at batch 1024: batched gathers with per-filter
+    # indices lower to per-element loops on TPU, while this is one MXU GEMM
+    # per chunk). One-hot matmuls at HIGHEST precision are exact. Rows whose
+    # target lands beyond R_MAX match no Sel row — exactly the old overflow-
+    # drop semantics, and the kept-row ORDER is also identical (chunk order).
     # Carry inits derive from the data (not fresh constants) so their
     # varying-axis status matches the loop outputs under shard_map.
     zf = obs.ravel()[0] * 0
     zi = dof[0] * 0
-    buf = jnp.zeros((R_MAX + C * R, W), dtype) + zf
+    buf = jnp.zeros((R_MAX, W), dtype) + zf
     carry0 = (buf, zi, zi)
+    row_ids = jnp.arange(R_MAX, dtype=jnp.int32)
 
     def body(carry, x):
         buf, count, total = carry
@@ -248,10 +254,10 @@ def gated_row_stack(obs, obs_mask, p_f, track_ok, window, g, P, sigma2,
         cols = [H_c, r_c[..., None]] + ([V_c] if aniso else [])
         rows = jnp.concatenate(cols, axis=-1).reshape(C * R, W)
         rmf = rm.reshape(C * R)
-        order = jnp.argsort(jnp.logical_not(rmf), stable=True)
-        rows = rows[order] * rmf[order][:, None]
         nv = jnp.sum(rmf).astype(jnp.int32)
-        buf = jax.lax.dynamic_update_slice(buf, rows, (count, count * 0))
+        tgt = count + jnp.cumsum(rmf.astype(jnp.int32)) - 1
+        sel = ((tgt[None, :] == row_ids[:, None]) & rmf[None, :]).astype(dtype)
+        buf = buf + jnp.matmul(sel, rows, precision=jax.lax.Precision.HIGHEST)
         count = jnp.minimum(count + nv, R_MAX)
         return (buf, count, total + nv), (gate_c, jnp.any(rm, axis=1))
 
@@ -370,18 +376,11 @@ def measurement_update(state: FilterState, H, r, sigma2, config: MsckfConfig,
     return state.replace(P=P_new)
 
 
-def marginalize(state: FilterState, staged: StagedTracks, config: MsckfConfig) -> FilterState:
-    """Residualize staged tracks and update (msckf.h:336-449).
-
-    Pipeline per staged track: motion gate (skipped for the first 4
-    residualized tracks, msckf.h:354) -> LM triangulation -> projected rows ->
-    Mahalanobis gate -> global row stack -> one joint EKF update.
-    """
+def marginalize_prep(state: FilterState, staged: StagedTracks, config: MsckfConfig):
+    """Motion gate + LM triangulation for the staged tracks (the front half
+    of msckf.h:336-449). Returns (p_f_G, track_ok, motion_ok, tri_ok)."""
     fcfg = config.filter
-    dtype = state.P.dtype
-    sigma2 = jnp.asarray(config.u_var_prime, dtype)
     window = state.window
-    g = state.imu.g
 
     motion_ok = jax.vmap(
         lambda o, om: triangulate.check_motion(
@@ -396,13 +395,54 @@ def marginalize(state: FilterState, staged: StagedTracks, config: MsckfConfig) -
             o, om, window.q_CG, window.p_C_G, config.max_gn_cost_norm
         )
     )(staged.obs, staged.obs_mask)
-    track_ok = motion_ok & tri_ok
     # Degenerate geometry can yield non-finite points; those tracks are already
     # rejected (NaN comparisons gate False), but the values must be sanitized
     # so masked-out rows multiply to exact zeros downstream.
     tri_ok = tri_ok & jnp.all(jnp.isfinite(p_f_G), axis=-1)
     track_ok = motion_ok & tri_ok
     p_f_G = jnp.nan_to_num(p_f_G, nan=0.0, posinf=0.0, neginf=0.0)
+    return p_f_G, track_ok, motion_ok, tri_ok
+
+
+def marginalize_post(state: FilterState, staged: StagedTracks, p_f_G, track_ok,
+                     motion_ok, tri_ok, gate_ok, rows_present, n_dropped,
+                     config: MsckfConfig) -> FilterState:
+    """Diagnostics + map bookkeeping for the staged-track update (the back
+    half of msckf.h:336-449)."""
+    dtype = state.P.dtype
+    diag = state.diag.replace(
+        row_overflow=state.diag.row_overflow + n_dropped,
+        motion_rejects=state.diag.motion_rejects
+        + jnp.sum(staged.valid & ~motion_ok).astype(jnp.int32),
+        triangulation_rejects=state.diag.triangulation_rejects
+        + jnp.sum(motion_ok & ~tri_ok).astype(jnp.int32),
+        gating_rejects=state.diag.gating_rejects
+        + jnp.sum(track_ok & ~gate_ok).astype(jnp.int32),
+        updates_applied=state.diag.updates_applied
+        + jnp.any(rows_present).astype(jnp.int32),
+    )
+    map_mask = track_ok
+    return state.replace(
+        num_residualized=state.num_residualized + jnp.sum(track_ok).astype(jnp.int32),
+        map_pts=jnp.where(map_mask[:, None], p_f_G, 0.0).astype(dtype),
+        map_mask=map_mask,
+        diag=diag,
+    )
+
+
+def marginalize(state: FilterState, staged: StagedTracks, config: MsckfConfig) -> FilterState:
+    """Residualize staged tracks and update (msckf.h:336-449).
+
+    Pipeline per staged track: motion gate (skipped for the first 4
+    residualized tracks, msckf.h:354) -> LM triangulation -> projected rows ->
+    Mahalanobis gate -> global row stack -> one joint EKF update.
+    """
+    dtype = state.P.dtype
+    sigma2 = jnp.asarray(config.u_var_prime, dtype)
+    window = state.window
+    g = state.imu.g
+
+    p_f_G, track_ok, motion_ok, tri_ok = marginalize_prep(state, staged, config)
 
     out = gated_row_stack(
         staged.obs, staged.obs_mask, p_f_G, track_ok, window, g, state.P,
@@ -412,22 +452,7 @@ def marginalize(state: FilterState, staged: StagedTracks, config: MsckfConfig) -
     V = out[5] if config.filter.use_anisotropic_r else None
 
     state = measurement_update(state, H, r, sigma2, config, V=V)
-    any_rows = jnp.any(rows_present)
-
-    diag = state.diag.replace(
-        row_overflow=state.diag.row_overflow + n_dropped,
-        motion_rejects=state.diag.motion_rejects
-        + jnp.sum(staged.valid & ~motion_ok).astype(jnp.int32),
-        triangulation_rejects=state.diag.triangulation_rejects
-        + jnp.sum(motion_ok & ~tri_ok).astype(jnp.int32),
-        gating_rejects=state.diag.gating_rejects
-        + jnp.sum(track_ok & ~gate_ok).astype(jnp.int32),
-        updates_applied=state.diag.updates_applied + any_rows.astype(jnp.int32),
-    )
-    map_mask = track_ok
-    return state.replace(
-        num_residualized=state.num_residualized + jnp.sum(track_ok).astype(jnp.int32),
-        map_pts=jnp.where(map_mask[:, None], p_f_G, 0.0).astype(dtype),
-        map_mask=map_mask,
-        diag=diag,
+    return marginalize_post(
+        state, staged, p_f_G, track_ok, motion_ok, tri_ok, gate_ok,
+        rows_present, n_dropped, config,
     )

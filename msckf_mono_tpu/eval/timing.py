@@ -2,9 +2,15 @@
 
 The device-side replacement for the reference's TSTART/TEND/TRECORD wall-clock
 macros and the ``StageTiming`` ROS message (/root/reference/datasets/
-asl_msckf.cpp:207-296, msg/StageTiming.msg): each pipeline stage is jitted
-separately and timed with ``block_until_ready`` over repeated runs, yielding
-the same per-stage breakdown the reference publishes per frame.
+asl_msckf.cpp:207-296, msg/StageTiming.msg).
+
+Measurement method: each stage is iterated ``reps`` times INSIDE one jitted
+``lax.scan`` (the stage output feeds the next iteration's input) and the per-
+iteration time is the scan wall time divided by reps. Host-side per-call
+timing is useless on a tunneled TPU: every dispatch pays ~0.7 s of RPC
+latency and ``block_until_ready`` can return before execution completes, so
+the round-2 tables measured mostly dispatch floor. A trailing tiny
+``device_get`` provides the real synchronization point.
 """
 
 from __future__ import annotations
@@ -12,6 +18,7 @@ from __future__ import annotations
 import time
 
 import jax
+import numpy as np
 
 from msckf_mono_tpu.core import augment, prune, tracks, update
 from msckf_mono_tpu.core import filter as msckf_filter
@@ -30,40 +37,51 @@ STAGES = (
 )
 
 
-def _block(x):
-    jax.tree_util.tree_map(
-        lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a, x
-    )
+def _sync(out):
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[:1]))
 
 
 def stage_timing(state, frame, staged, config: MsckfConfig, reps: int = 10):
     """Times each stage on the current device. Returns {stage: seconds}.
 
     ``state``/``frame`` may carry a batch axis (stages are vmapped then).
+    The reported time is per-iteration device time (in-scan repetition).
     """
     batched = state.P.ndim == 3
+    reps = max(reps, 4)
 
     def wrap(fn):
-        if batched:
-            fn = jax.vmap(fn)
-        return jax.jit(fn)
+        inner = jax.vmap(fn) if batched else fn
+
+        def looped(s, *rest):
+            def body(c, _):
+                return inner(c, *rest), ()
+
+            out, _ = jax.lax.scan(body, s, None, length=reps)
+            return out
+
+        return jax.jit(looped)
 
     fns = {
-        "imu_prop": (wrap(lambda s, f: msckf_filter.propagate_block(s, f, config)), (state, frame)),
-        "augment_state": (wrap(lambda s, f: augment.augment_state(s, f.state_id, f.time, config)), (state, frame)),
-        "update": (wrap(lambda s, f: tracks.update_tracks(s, f.tracked_uv, f.tracked_ids, f.tracked_valid, config)), (state, frame)),
-        "add_features": (wrap(lambda s, f: tracks.add_features(s, f.new_uv, f.new_ids, f.new_valid, config)), (state, frame)),
-        "marginalize": (wrap(lambda s, st: update.marginalize(s, st, config)), (state, staged)),
-        "prune_redundant": (wrap(lambda s: prune.prune_redundant_states(s, config)), (state,)),
-        "prune_empty_states": (wrap(lambda s: prune.prune_empty_states(s, config)), (state,)),
-        "full_step": (wrap(lambda s, f: msckf_filter.step(s, f, config)), (state, frame)),
+        "imu_prop": (lambda s, f: msckf_filter.propagate_block(s, f, config), (frame,)),
+        "augment_state": (lambda s, f: augment.augment_state(s, f.state_id, f.time, config), (frame,)),
+        "update": (lambda s, f: tracks.update_tracks(s, f.tracked_uv, f.tracked_ids, f.tracked_valid, config)[0], (frame,)),
+        "add_features": (lambda s, f: tracks.add_features(s, f.new_uv, f.new_ids, f.new_valid, config), (frame,)),
+        "marginalize": (lambda s, st: update.marginalize(s, st, config), (staged,)),
+        "prune_redundant": (lambda s: prune.prune_redundant_states(s, config), ()),
+        "prune_empty_states": (lambda s: prune.prune_empty_states(s, config), ()),
+        "full_step": (lambda s, f: msckf_filter.step(s, f, config)[0], (frame,)),
     }
 
     out = {}
-    for name, (fn, args) in fns.items():
-        _block(fn(*args))  # compile
+    for name in STAGES:
+        fn, rest = fns[name]
+        jfn = wrap(fn)
+        res = jfn(state, *rest)  # compile + first run
+        _sync(res)
         t0 = time.perf_counter()
-        for _ in range(reps):
-            _block(fn(*args))
+        res = jfn(state, *rest)
+        _sync(res)
         out[name] = (time.perf_counter() - t0) / reps
     return out

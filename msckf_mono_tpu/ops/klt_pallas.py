@@ -13,12 +13,22 @@ offsets from one fractional center, so the whole window sample factors into
     rows:  (1-fy) * img[by : by+TS, :]  +  fy * img[by+1 : by+1+TS, :]
     cols:  rows @ Sx,   Sx[bx+c, c] = 1-fx,  Sx[bx+c+1, c] = fx
 
-i.e. one dynamic *sublane* slice pair plus one small MXU matmul with a
-banded column-interpolation matrix — no gathers at all. The image level
-lives in VMEM for the whole call (grid programs revisit the same block);
-each grid program tracks one feature through `max_iters` Gauss-Newton steps
-with a `lax.cond` early exit on convergence (eps, matching the reference's
-cv::TermCriteria eps=1.0, corner_detector.cpp:206).
+i.e. one dynamic *sublane* slice pair plus one MXU matmul with a banded
+column matrix that folds BOTH the column-slab selection and the fractional
+x-interpolation — no gathers at all, and no dynamic indexing on the lane
+dimension. The image level lives in VMEM for the whole call (grid programs
+revisit the same block); each grid program tracks one feature through
+`max_iters` Gauss-Newton steps.
+
+Mosaic lessons (v1 of this kernel hung the compiler; each item below was a
+candidate and v2 removes all of them):
+* no `lax.cond` with function branches inside `fori_loop` — the convergence
+  early-exit (reference cv::TermCriteria eps, corner_detector.cpp:206) is a
+  carried `done` flag masking the position update instead;
+* no dynamic slicing on the LANE dimension (v1 sliced a 256-wide column slab
+  at a runtime lane offset) — the banded Sx matmul spans the full padded
+  image width, so only sublane (row) bases are dynamic;
+* f32 loop carries only.
 
 Geometry matches frontend/klt.py exactly for interior features: template
 gradients are central differences of bilinear samples (linear in the image,
@@ -39,7 +49,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-COLS = 2 * LANE  # column slab per feature: window (<=128 wide) + slack
 
 
 def _round_up(x: int, m: int) -> int:
@@ -58,12 +67,12 @@ def _klt_level_kernel(
     # (8, 128) or equal the array's).
     fidx = pl.program_id(0)
     w = 2 * half + 1
-    tw = w + 2  # sample grid: window + 1px gradient margin each side
     Hp, Wp = img_prev_ref.shape
     f32 = jnp.float32
 
-    rr = jax.lax.broadcasted_iota(jnp.int32, (COLS, LANE), 0)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (COLS, LANE), 1)
+    # (Wp, LANE) iotas for the banded interpolation matrix.
+    srow = jax.lax.broadcasted_iota(jnp.int32, (Wp, LANE), 0)
+    scol = jax.lax.broadcasted_iota(jnp.int32, (Wp, LANE), 1)
     wrow = jax.lax.broadcasted_iota(jnp.int32, (ts, LANE), 0)
     wcol = jax.lax.broadcasted_iota(jnp.int32, (ts, LANE), 1)
     # valid window cells: sample-grid interior (gradient margin stripped)
@@ -73,20 +82,19 @@ def _klt_level_kernel(
         """Bilinear (ts, LANE) sample grid with top-left at (p - half - 1)."""
         bxf = px - f32(half + 1) + f32(pad)
         byf = py - f32(half + 1) + f32(pad)
-        bx = jnp.clip(jnp.floor(bxf), 0, Wp - COLS - 1).astype(jnp.int32)
+        bx = jnp.clip(jnp.floor(bxf), 0, Wp - LANE - 1).astype(jnp.int32)
         by = jnp.clip(jnp.floor(byf), 0, Hp - ts - 1).astype(jnp.int32)
         fx = jnp.clip(bxf - bx.astype(f32), 0.0, 1.0)
         fy = jnp.clip(byf - by.astype(f32), 0.0, 1.0)
-        # lane-aligned column slab containing [bx, bx + tw + 1)
-        tile = pl.multiple_of((bx // LANE) * LANE, LANE)
-        bxl = bx - tile
-        r0 = img_ref[pl.ds(by, ts), pl.ds(tile, COLS)]
-        r1 = img_ref[pl.ds(by + 1, ts), pl.ds(tile, COLS)]
-        rows = (1.0 - fy) * r0 + fy * r1                       # (ts, COLS)
-        sx = jnp.where(rr == bxl + cc, 1.0 - fx, 0.0) + jnp.where(
-            rr == bxl + cc + 1, fx, 0.0
-        )                                                       # (COLS, LANE)
-        return jnp.dot(rows, sx, preferred_element_type=f32)    # (ts, LANE)
+        r0 = img_ref[pl.ds(by, ts), :]
+        r1 = img_ref[pl.ds(by + 1, ts), :]
+        rows = (1.0 - fy) * r0 + fy * r1                        # (ts, Wp)
+        # Banded full-width interpolation matrix: column c of the window
+        # reads image columns bx+c (weight 1-fx) and bx+c+1 (weight fx).
+        sx = jnp.where(srow == bx + scol, 1.0 - fx, 0.0) + jnp.where(
+            srow == bx + scol + 1, fx, 0.0
+        )                                                        # (Wp, LANE)
+        return jnp.dot(rows, sx, preferred_element_type=f32)     # (ts, LANE)
 
     px, py = ptp_ref[fidx, 0], ptp_ref[fidx, 1]
     cx0, cy0 = ptc_ref[fidx, 0], ptc_ref[fidx, 1]
@@ -107,7 +115,7 @@ def _klt_level_kernel(
     det_g = gxx * gyy - gxy * gxy
     det_g = jnp.where(jnp.abs(det_g) > 1e-12, det_g, 1e-12)
 
-    def gn_step(carry):
+    def gn_step(i, carry):
         cx, cy, done = carry
         cur = sample(img_cur_ref, cx, cy)
         diff = (cur - tpl) * wm
@@ -115,15 +123,18 @@ def _klt_level_kernel(
         by_a = jnp.sum(diff * iy)
         dx = -(gyy * bx_a - gxy * by_a) / det_g
         dy = -(-gxy * bx_a + gxx * by_a) / det_g
-        done = done | (jnp.sqrt(dx * dx + dy * dy) < f32(eps))
-        return cx + dx, cy + dy, done
+        # done-masking replaces the v1 lax.cond early exit (Mosaic-hostile);
+        # converged features take zero-length steps from then on.
+        step_ok = 1.0 - done
+        cx = cx + dx * step_ok
+        cy = cy + dy * step_ok
+        done = jnp.maximum(
+            done, jnp.where(jnp.sqrt(dx * dx + dy * dy) < f32(eps), 1.0, 0.0)
+        )
+        return cx, cy, done
 
-    def body(_, carry):
-        return jax.lax.cond(carry[2], lambda c: c, gn_step, carry)
-
-    cx, cy, _ = jax.lax.fori_loop(
-        0, max_iters, body, (cx0, cy0, jnp.logical_not(good))
-    )
+    not_good = jnp.where(good, 0.0, 1.0)
+    cx, cy, _ = jax.lax.fori_loop(0, max_iters, gn_step, (cx0, cy0, not_good))
 
     out_pt_ref[fidx, 0] = jnp.where(good, cx, cx0)
     out_pt_ref[fidx, 1] = jnp.where(good, cy, cy0)
@@ -154,8 +165,8 @@ def track_level(
     F = pts_prev.shape[0]
     H, W = img_prev.shape
 
-    Hp = _round_up(H + 2 * pad, 8)
-    Wp = max(_round_up(W + 2 * pad, LANE), COLS + LANE)
+    Hp = max(_round_up(H + 2 * pad, 8), ts + 8)
+    Wp = max(_round_up(W + 2 * pad, LANE), 2 * LANE)
 
     def pad_img(img):
         p = jnp.pad(img.astype(jnp.float32), ((pad, pad), (pad, pad)), mode="edge")

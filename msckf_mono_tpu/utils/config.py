@@ -88,6 +88,17 @@ class FilterConfig:
     # (a.k.a. highest) keeps true f32.
     matmul_precision: str = "highest"
 
+    # Fuse the marginalize and prune-redundant EKF updates into ONE stacked
+    # update per frame (one gate batch, one (R,R) solve, one Joseph pass
+    # instead of two of each — the two updates were the entire hot path of
+    # the round-3 TPU trace). Documented deviation when on: the reference
+    # runs them sequentially (asl_msckf.cpp:268-296), so redundant-slot
+    # selection and the prune gate see the pre-marginalize window/P; both
+    # are EKF linearizations at the same state, differing at second order.
+    # Off = strict reference ordering (the default for parity/golden tests;
+    # bench/serving flips it on).
+    fused_updates: bool = False
+
     # QR "T_H" row compression before the update (msckf.h:1343-1366). With
     # isotropic R the compressed and direct updates are algebraically
     # identical; the direct path is ~4x cheaper on TPU (batched QR is slow),
@@ -123,7 +134,11 @@ class ShapeConfig:
 
     num_slots: int = 28            # camera-state window slots (max_cam_states + headroom)
     max_tracks: int = 128          # live feature-track rows
-    max_staged: int = 32           # tracks residualized per frame step
+    max_staged: int = 8            # tracks residualized per frame step
+    #   (was 32; measured per-frame track deaths on the EuRoC-scale world:
+    #   mean 0.9, max 4 — diag.staged_overflow counts any burst beyond 8.
+    #   finish() force-residualizes in ⌈max_tracks/max_staged⌉ passes either
+    #   way.)
     max_staged_prune: int = 48     # candidate buffer of the redundant-prune update
     #   (was 64; the round-3 TPU trace showed the prune path's 64-candidate
     #   triangulation + row sweep dominating the frame step. Overflowing
@@ -135,6 +150,12 @@ class ShapeConfig:
     #   the round-3 trace. 192 keeps diag.row_overflow at exactly 0 on the
     #   synthetic e2e (128 dropped 85 rows); core/filter.finish raises the
     #   budget to the worst case for its force-residualize loop.)
+    max_tri_prune: int = 16        # prune candidates LM-triangulated per frame
+    #   (candidates with a cached triangulation skip LM entirely — the
+    #   reference caches too, msckf.h:488-531; measured un-initialized
+    #   candidates: mean 1.4, p90 4. The once-per-sequence first-prune burst
+    #   beyond 16 drops those candidates' one-last-updates, counted in
+    #   diag.staged_overflow.)
     staged_chunk: int = 8          # staged tracks per gated_row_stack scan step
     #   (bounds peak HBM of the dense per-track Jacobians: ~C·(2N-3)·D floats
     #   per filter instead of S·(2N-3)·D; 8 keeps batch-1024 under ~2 GB)

@@ -62,15 +62,17 @@ def test_synthetic_sequence_ate():
     # the filter actually used vision
     assert int(final.num_residualized) > 20
     assert int(final.diag.updates_applied) > 20
-    # no silent capacity overflows in this nominal config. staged_overflow
-    # counts prune-path candidates beyond max_staged_prune (=48): the nominal
-    # sequence spikes to ~53 candidates on a handful of frames, dropping 5
-    # candidate tracks' final updates over 120 frames — bounded here so a
-    # regression (or an unwisely shrunk buffer) can't hide, without paying a
-    # 64-wide triangulation sweep every frame for the last few (round-3 trace:
-    # the prune candidate sweep was the hottest block of the whole step).
+    # no silent row drops in this nominal config.
     assert int(final.diag.row_overflow) == 0
-    assert int(final.diag.staged_overflow) <= 8
+    # staged_overflow counts (a) prune candidates beyond max_staged_prune
+    # (~5 over the sequence: brief spikes to ~53 vs the 48 buffer) and (b)
+    # un-initialized candidates beyond the max_tri_prune=16 LM budget —
+    # dominated by the ONCE-per-sequence first prune, where ~50 tracks have
+    # never been touched by a prune before (steady state: mean 1.4/frame).
+    # Those tracks lose their one-last-update only; their obs are erased
+    # either way, and ATE is unaffected (asserted above). Bounded so a
+    # regression or an unwisely shrunk buffer can't hide.
+    assert int(final.diag.staged_overflow) <= 60
 
 
 @pytest.mark.slow
@@ -141,3 +143,38 @@ def test_batched_filters_match_single():
     np.testing.assert_allclose(
         np.asarray(outs_b.p_I_G[:, 0]), np.asarray(outs_b.p_I_G[:, 1]), atol=1e-6
     )
+
+
+def test_fused_updates_matches_sequential_closely():
+    """fused_updates=True (one stacked marginalize+prune update per frame)
+    must track the strict-reference sequential ordering: same ATE regime,
+    same number of residualized tracks, no new overflows."""
+    import dataclasses
+
+    cfg0 = MsckfConfig()
+    cfg1 = dataclasses.replace(
+        cfg0, filter=dataclasses.replace(cfg0.filter, fused_updates=True)
+    )
+    seq = synthetic.generate(cfg0, n_frames=100, seed=3, pixel_noise=0.5)
+    imu = ground_truth_init(
+        p_I_G=[5.0, 0.0, 0.0], q_IG=[1, 0, 0, 0],
+        v_I_G=[0.0, 5.0 * 0.35, 0.28], b_g=seq.b_g, b_a=seq.b_a,
+        dtype=jnp.float32,
+    )
+    frames = synthetic.to_frame_inputs(seq, jnp.float32)
+
+    results = {}
+    for name, cfg in (("seq", cfg0), ("fused", cfg1)):
+        state = init_filter_state(cfg, imu, dtype=jnp.float32)
+        final, outs = jax.jit(lambda s, f, cfg=cfg: msckf_filter.run_sequence(s, f, cfg))(
+            state, frames
+        )
+        results[name] = (final, np.asarray(outs.p_I_G))
+
+    ate_seq = ate_rmse(results["seq"][1], seq.gt_p)
+    ate_fused = ate_rmse(results["fused"][1], seq.gt_p)
+    # Same accuracy regime (the orderings differ at second order only).
+    assert ate_fused < max(2.0 * ate_seq, 0.3), (ate_fused, ate_seq)
+    f_seq, f_fused = results["seq"][0], results["fused"][0]
+    assert abs(int(f_fused.num_residualized) - int(f_seq.num_residualized)) <= 10
+    assert int(f_fused.diag.row_overflow) == 0

@@ -228,7 +228,7 @@ def _staged_fixture(n_tracks, n_obs_each, seed=11):
 
     state = _state_with_window(10, seed=seed)
     rng = np.random.default_rng(seed)
-    S = CFG.shapes.max_staged
+    S = max(16, CFG.shapes.max_staged)  # independent of the staging budget
     obs = np.zeros((S, N, 2))
     masks = np.zeros((S, N), bool)
     pts = np.zeros((S, 3))

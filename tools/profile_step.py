@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--state", default="/tmp/warm_state_b8.npz",
                     help="state snapshot from tools/save_warm_state (optional)")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--fused", action=argparse.BooleanOptionalAction, default=True,
+                    help="profile the serving config (fused_updates=True)")
     args = ap.parse_args()
 
     import pickle
@@ -52,12 +54,18 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    import dataclasses
+
     import jax.numpy as jnp
 
     from msckf_mono_tpu.core import filter as mf
     from msckf_mono_tpu.utils.config import MsckfConfig
 
     cfg = MsckfConfig()
+    if args.fused:
+        cfg = dataclasses.replace(
+            cfg, filter=dataclasses.replace(cfg.filter, fused_updates=True)
+        )
     B = args.batch
 
     # Load the saved warm state + frame and broadcast to the batch.
