@@ -51,6 +51,11 @@ def main():
                     help="also print a per-stage device-time breakdown "
                          "(eval/timing.py, the StageTiming telemetry analogue) "
                          "to stderr and PROF_STAGES.txt")
+    ap.add_argument("--images", action="store_true",
+                    help="image-in-the-loop mode (BASELINE config 4): rendered "
+                         "pixels -> Pallas FAST/KLT front-end -> filter, all "
+                         "on device (the reference's live pipeline, "
+                         "ros_interface.cpp:48-120)")
     ap.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--timeout", type=int, default=1500,
                     help="watchdog seconds per attempt (tunneled TPUs can wedge)")
@@ -99,6 +104,9 @@ def main():
         cfg, shapes=dataclasses.replace(cfg.shapes, staged_chunk=chunk_s)
     )
     log(f"device: {dev}, batch={args.batch}, frames={args.frames}")
+
+    if args.images:
+        return _run_images(args, cfg)
 
     seq = synthetic.generate(cfg, n_frames=args.frames, seed=0, pixel_noise=0.5)
     frames = synthetic.to_frame_inputs(seq, jnp.float32)
@@ -234,6 +242,119 @@ def main():
     )
 
 
+def _run_images(args, cfg):
+    """Image-in-the-loop benchmark: pixels -> FAST/KLT -> filter on device.
+
+    B independent camera streams (shared image CONTENT broadcast inside jit
+    — per-stream front-end compute is identical either way, but only one
+    (T, H, W) stack crosses the host->device tunnel). Reports
+    image-frame-steps/s: each step includes pyramid build, Pallas KLT
+    tracking, FAST+Shi-Tomasi detection, and the full filter frame.
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from msckf_mono_tpu.core import pipeline
+    from msckf_mono_tpu.core.init import ground_truth_init
+    from msckf_mono_tpu.data import render, synthetic
+    from msckf_mono_tpu.eval.ate import ate_rmse
+    from msckf_mono_tpu.frontend import functional
+    from msckf_mono_tpu.parallel import montecarlo
+
+    B = args.batch
+    T = args.frames
+    H, W = cfg.camera.height, cfg.camera.width
+    fcfg = functional.FrontendConfig(max_features=64, window_size=21, max_level=3)
+
+    seq, world = synthetic.generate(
+        cfg, n_frames=T, seed=0, pixel_noise=0.0, n_landmarks=500,
+        return_world=True,
+    )
+    t0 = time.perf_counter()
+    imgs = np.stack([render.render_frame(cfg, world, i) for i in range(T)])
+    log(f"rendered {T} frames ({H}x{W}) in {time.perf_counter()-t0:.1f}s")
+
+    imu = ground_truth_init(
+        p_I_G=[5.0, 0.0, 0.0], q_IG=[1, 0, 0, 0],
+        v_I_G=[0.0, 5.0 * 0.35, 0.2 * 1.4], b_g=seq.b_g, b_a=seq.b_a,
+        dtype=jnp.float32,
+    )
+    states = montecarlo.make_fleet(cfg, imu, B, dtype=jnp.float32)
+    fstate = functional.init_frontend_state(H, W, fcfg)
+    fstates = jax.tree_util.tree_map(lambda x: jnp.stack([x] * B), fstate)
+
+    imgs_d = jnp.asarray(imgs, jnp.float32)          # (T, H, W) on device once
+    om = jnp.asarray(seq.imu_omega, jnp.float32)     # (T, K, 3)
+    ac = jnp.asarray(seq.imu_acc, jnp.float32)
+    dt_ = jnp.asarray(seq.imu_dt, jnp.float32)
+    tm = jnp.asarray(seq.time, jnp.float32)
+
+    run = pipeline.batched_run_images(cfg, fcfg)
+
+    chunk = min(10, T)
+    while T % chunk:
+        chunk -= 1
+    n_chunks = T // chunk
+
+    @jax.jit
+    def run_chunk(states, fstates, img_c, om_c, ac_c, dt_c, sid_c, tm_c):
+        Tc = img_c.shape[0]
+
+        def b(x):
+            return jnp.broadcast_to(x[:, None], (Tc, B) + x.shape[1:])
+
+        frames = pipeline.ImageFrameInput(
+            image=b(img_c), imu_omega=b(om_c), imu_acc=b(ac_c), imu_dt=b(dt_c),
+            state_id=b(sid_c), time=b(tm_c),
+            frame_valid=jnp.ones((Tc, B), bool),
+        )
+        return run(states, fstates, frames)
+
+    sid = jnp.arange(1, T + 1, dtype=jnp.int32)
+
+    def run_all(states, fstates):
+        outs_list = []
+        for c in range(n_chunks):
+            sl = slice(c * chunk, (c + 1) * chunk)
+            states, fstates, outs = run_chunk(
+                states, fstates, imgs_d[sl], om[sl], ac[sl], dt_[sl], sid[sl], tm[sl]
+            )
+            outs_list.append(outs.p_I_G[:, 0])
+            np.asarray(jax.device_get(states.imu.q_IG[:1]))
+        return states, fstates, outs_list
+
+    log(f"compiling image pipeline... ({n_chunks} chunk(s) of {chunk} frames, batch {B})")
+    t0 = time.perf_counter()
+    final, ffinal, outs_list = run_all(states, fstates)
+    log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
+
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        final, ffinal, outs_list = run_all(states, fstates)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    est = np.concatenate([np.asarray(o) for o in outs_list])
+    ate = ate_rmse(est, seq.gt_p)
+    fps = B * T / dt
+    log(f"run time best of {args.reps}: {dt:.3f}s; ATE(filter0)={ate:.3f} m")
+    value = round(fps, 1)
+    if not np.isfinite(est).all() or ate > ATE_GATE_M:
+        log(f"WARNING: accuracy gate tripped (ATE {ate:.3f} > {ATE_GATE_M}); value zeroed")
+        value = 0.0
+    print(json.dumps({
+        "metric": "image_in_loop_frame_steps_per_s",
+        "value": value,
+        "unit": ("image-frame-steps/s (batch={} streams, {}x{} px, pyramid+KLT"
+                 "+FAST on device + full filter)").format(B, H, W),
+        "vs_baseline": round(value / 20.0, 2),
+        "diagnostics": {"ate_m": round(float(ate), 4)},
+    }))
+
+
 def _supervise(args):
     """Run the bench in a watchdog subprocess.
 
@@ -265,6 +386,8 @@ def _supervise(args):
             cmd += ["--platform", platform]
         if args.stages:
             cmd += ["--stages"]
+        if args.images:
+            cmd += ["--images"]
         log(f"bench attempt [{name}]: platform={platform or 'default'} "
             f"batch={batch} frames={frames}")
         try:

@@ -73,7 +73,7 @@ def step(
 
     dR = _gyro_dR(frame, state.imu.b_g, q_CI, dtype)
     fstate, feats = functional.frontend_step(
-        fstate, frame.image, dR, config, fcfg
+        fstate, frame.image.astype(dtype), dR, config, fcfg
     )
 
     F = config.shapes.max_features_per_frame

@@ -35,19 +35,20 @@ LANE = 128
 
 
 def _fast_nms_kernel(img_ref, out_ref, slab, sem, *, threshold, tile_h, W_true, H_true):
-    """One program: padded-image rows [i*tile_h, i*tile_h + tile_h + 2·HALO).
+    """One program: image b, padded rows [i*tile_h, i*tile_h + tile_h + 2·HALO).
 
-    The wrapper pads the image by HALO rows top and bottom, so every tile's
+    The wrapper pads each image by HALO rows top and bottom, so every tile's
     slab starts at the static-stride offset i*tile_h (a multiple of 8 —
     Mosaic rejects dynamic sublane starts it cannot prove 8-aligned) and the
     output window sits at the fixed slab offset HALO.
     """
-    i = pl.program_id(0)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     slab_h = tile_h + 2 * HALO
     start = i * tile_h  # padded-image coordinates
 
     # one HBM -> VMEM DMA of the slab
-    dma = pltpu.make_async_copy(img_ref.at[pl.ds(start, slab_h)], slab, sem)
+    dma = pltpu.make_async_copy(img_ref.at[b, pl.ds(start, slab_h)], slab, sem)
     dma.start()
     dma.wait()
 
@@ -110,22 +111,20 @@ def _fast_nms_kernel(img_ref, out_ref, slab, sem, *, threshold, tile_h, W_true, 
             neigh = jnp.maximum(neigh, n)
     mine = sc[1 : 1 + tile_h, :]
     keep = (mine > -big) & (mine >= neigh)
-    out_ref[:, :] = jnp.where(keep, mine, 0.0)
+    out_ref[0, :, :] = jnp.where(keep, mine, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "tile_h", "interpret"))
-def fast_nms_score(img, threshold: float = 20.0, tile_h: int = 64, interpret: bool = False):
-    # tile_h=64: the 16 live circle-difference tensors plus accumulators have
-    # to fit the 16 MB scoped-VMEM stack; 120-row tiles measured 22.7 MB.
-    """(H, W) image -> (H, W) NMS-suppressed FAST-10 score (0 = not a corner)."""
+def _fast_nms_batched(imgs, threshold: float, tile_h: int, interpret: bool):
+    """(B, H, W) images -> (B, H, W) NMS-suppressed FAST-10 scores."""
     assert tile_h % 8 == 0, "tile_h must be a sublane multiple"
-    H, W = img.shape
+    B, H, W = imgs.shape
     Wp = -(-W // LANE) * LANE
     n_tiles = -(-H // tile_h)
     # HALO rows of padding top and bottom -> every slab start is static
     H_pad = n_tiles * tile_h + 2 * HALO
-    img_p = jnp.zeros((H_pad, Wp), jnp.float32)
-    img_p = img_p.at[HALO : HALO + H, :W].set(img.astype(jnp.float32))
+    img_p = jnp.zeros((B, H_pad, Wp), jnp.float32)
+    img_p = img_p.at[:, HALO : HALO + H, :W].set(imgs.astype(jnp.float32))
 
     kernel = functools.partial(
         _fast_nms_kernel,
@@ -136,16 +135,43 @@ def fast_nms_score(img, threshold: float = 20.0, tile_h: int = 64, interpret: bo
     )
     out = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(B, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (tile_h, Wp), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (1, tile_h, Wp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles * tile_h, Wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * tile_h, Wp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((tile_h + 2 * HALO, Wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(img_p)
-    return out[:H, :W]
+    return out[:, :H, :W]
+
+
+@functools.lru_cache(maxsize=None)
+def _fast_cv(threshold: float, tile_h: int, interpret: bool):
+    """custom_vmap wrapper: a vmapped call folds its batch axes into the
+    kernel's batch grid dimension (vmap's default pallas batching rule cannot
+    handle the ANY-memory-space manual-DMA input block)."""
+
+    @jax.custom_batching.custom_vmap
+    def cv(img):
+        return _fast_nms_batched(img[None], threshold, tile_h, interpret)[0]
+
+    @cv.def_vmap
+    def _rule(axis_size, in_batched, imgs):  # noqa: ANN001
+        lead = imgs.shape[:-2]
+        flat = imgs.reshape((-1,) + imgs.shape[-2:])
+        out = _fast_nms_batched(flat, threshold, tile_h, interpret)
+        return out.reshape(lead + out.shape[-2:]), True
+
+    return cv
+
+
+def fast_nms_score(img, threshold: float = 20.0, tile_h: int = 64, interpret: bool = False):
+    # tile_h=64: the 16 live circle-difference tensors plus accumulators have
+    # to fit the 16 MB scoped-VMEM stack; 120-row tiles measured 22.7 MB.
+    """(H, W) image -> (H, W) NMS-suppressed FAST-10 score (0 = not a corner)."""
+    return _fast_cv(float(threshold), int(tile_h), bool(interpret))(img)

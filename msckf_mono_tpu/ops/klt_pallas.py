@@ -56,48 +56,60 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _klt_level_kernel(
-    ptp_ref, ptc_ref, valid_ref,  # SMEM full (F,·) arrays, indexed by program
-    img_prev_ref, img_cur_ref,    # VMEM full padded level
-    out_pt_ref, out_good_ref,     # SMEM full (F,·) outputs
+    ptp_ref, ptc_ref, valid_ref,  # SMEM (1,F,·) blocks of stream b's features
+    img_prev_ref, img_cur_ref,    # VMEM (1,Hp,Wp) block of stream b's level
+    out_pt_ref, out_good_ref,     # SMEM (1,F,·) output blocks
     *,
     half: int, ts: int, pad: int, max_iters: int, eps: float, min_eig_thr: float,
 ):
     # Per-feature scalars travel as FULL SMEM arrays indexed with
     # program_id — Mosaic rejects (1, 2) SMEM blocks (block dims must divide
     # (8, 128) or equal the array's).
-    fidx = pl.program_id(0)
+    fidx = pl.program_id(1)
     w = 2 * half + 1
-    Hp, Wp = img_prev_ref.shape
+    Hp, Wp = img_prev_ref.shape[1:]
     f32 = jnp.float32
 
-    # (Wp, LANE) iotas for the banded interpolation matrix.
+    # Iotas for the banded interpolation matrices.
     srow = jax.lax.broadcasted_iota(jnp.int32, (Wp, LANE), 0)
     scol = jax.lax.broadcasted_iota(jnp.int32, (Wp, LANE), 1)
+    yrow = jax.lax.broadcasted_iota(jnp.int32, (ts, ts + 8), 0)
+    ycol = jax.lax.broadcasted_iota(jnp.int32, (ts, ts + 8), 1)
     wrow = jax.lax.broadcasted_iota(jnp.int32, (ts, LANE), 0)
     wcol = jax.lax.broadcasted_iota(jnp.int32, (ts, LANE), 1)
     # valid window cells: sample-grid interior (gradient margin stripped)
     wm = ((wrow >= 1) & (wrow < 1 + w) & (wcol >= 1) & (wcol < 1 + w)).astype(f32)
 
     def sample(img_ref, px, py):
-        """Bilinear (ts, LANE) sample grid with top-left at (p - half - 1)."""
+        """Bilinear (ts, LANE) sample grid with top-left at (p - half - 1).
+
+        Mosaic requires sublane slice bases to be provably 8-aligned, so the
+        load happens at by8 = 8*(by//8) and the row remainder rides in the
+        same banded matrix as the fractional y-interpolation:
+        window = Sy @ rows_aligned @ Sx (two MXU matmuls, no gathers).
+        """
         bxf = px - f32(half + 1) + f32(pad)
         byf = py - f32(half + 1) + f32(pad)
         bx = jnp.clip(jnp.floor(bxf), 0, Wp - LANE - 1).astype(jnp.int32)
-        by = jnp.clip(jnp.floor(byf), 0, Hp - ts - 1).astype(jnp.int32)
+        by = jnp.clip(jnp.floor(byf), 0, Hp - ts - 9).astype(jnp.int32)
         fx = jnp.clip(bxf - bx.astype(f32), 0.0, 1.0)
         fy = jnp.clip(byf - by.astype(f32), 0.0, 1.0)
-        r0 = img_ref[pl.ds(by, ts), :]
-        r1 = img_ref[pl.ds(by + 1, ts), :]
-        rows = (1.0 - fy) * r0 + fy * r1                        # (ts, Wp)
-        # Banded full-width interpolation matrix: column c of the window
-        # reads image columns bx+c (weight 1-fx) and bx+c+1 (weight fx).
+        by8 = pl.multiple_of((by // 8) * 8, 8)
+        rem = by - by8  # in [0, 8)
+        rows_a = img_ref[0, pl.ds(by8, ts + 8), :]               # (ts+8, Wp)
+        sy = jnp.where(ycol == yrow + rem, 1.0 - fy, 0.0) + jnp.where(
+            ycol == yrow + rem + 1, fy, 0.0
+        )                                                        # (ts, ts+8)
+        rows = jnp.dot(sy, rows_a, preferred_element_type=f32)   # (ts, Wp)
+        # Banded full-width column matrix: window column c reads image
+        # columns bx+c (weight 1-fx) and bx+c+1 (weight fx).
         sx = jnp.where(srow == bx + scol, 1.0 - fx, 0.0) + jnp.where(
             srow == bx + scol + 1, fx, 0.0
         )                                                        # (Wp, LANE)
         return jnp.dot(rows, sx, preferred_element_type=f32)     # (ts, LANE)
 
-    px, py = ptp_ref[fidx, 0], ptp_ref[fidx, 1]
-    cx0, cy0 = ptc_ref[fidx, 0], ptc_ref[fidx, 1]
+    px, py = ptp_ref[0, fidx, 0], ptp_ref[0, fidx, 1]
+    cx0, cy0 = ptc_ref[0, fidx, 0], ptc_ref[0, fidx, 1]
 
     tpl = sample(img_prev_ref, px, py)
     ix = 0.5 * (pltpu.roll(tpl, LANE - 1, 1) - pltpu.roll(tpl, 1, 1)) * wm
@@ -110,7 +122,7 @@ def _klt_level_kernel(
     tr = (gxx + gyy) / win_n
     det = (gxx * gyy - gxy * gxy) / (win_n * win_n)
     min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0)))
-    good = (valid_ref[fidx, 0] != 0) & (min_eig > f32(min_eig_thr))
+    good = (valid_ref[0, fidx, 0] != 0) & (min_eig > f32(min_eig_thr))
 
     det_g = gxx * gyy - gxy * gxy
     det_g = jnp.where(jnp.abs(det_g) > 1e-12, det_g, 1e-12)
@@ -136,15 +148,117 @@ def _klt_level_kernel(
     not_good = jnp.where(good, 0.0, 1.0)
     cx, cy, _ = jax.lax.fori_loop(0, max_iters, gn_step, (cx0, cy0, not_good))
 
-    out_pt_ref[fidx, 0] = jnp.where(good, cx, cx0)
-    out_pt_ref[fidx, 1] = jnp.where(good, cy, cy0)
-    out_good_ref[fidx, 0] = good.astype(jnp.int32)
+    out_pt_ref[0, fidx, 0] = jnp.where(good, cx, cx0)
+    out_pt_ref[0, fidx, 1] = jnp.where(good, cy, cy0)
+    out_good_ref[0, fidx, 0] = good.astype(jnp.int32)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("window_size", "max_iters", "eps", "min_eigen_threshold", "interpret"),
 )
+def _track_level_batched(
+    img_prev,
+    img_cur,
+    pts_prev,
+    pts_cur,
+    valid,
+    window_size: int,
+    max_iters: int,
+    eps: float,
+    min_eigen_threshold: float,
+    interpret: bool,
+):
+    """Batched LK level: (B,H,W) images x (B,F,2) points -> (B,F,2), (B,F)."""
+    half = window_size // 2
+    ts = _round_up(2 * half + 4, 8)  # sample rows: tw + 1 interp row, padded
+    pad = half + 2
+    B, F = pts_prev.shape[0], pts_prev.shape[1]
+    H, W = img_prev.shape[1:]
+
+    # +24 extra bottom rows: the aligned sublane load spans [by8, by8+ts+8)
+    # and by8 can sit up to 7 rows below by, so bottom-edge features need
+    # slack beyond the replication pad or their sample base gets clamped.
+    Hp = max(_round_up(H + 2 * pad, 8) + 24, ts + 24)
+    Wp = max(_round_up(W + 2 * pad, LANE), 2 * LANE)
+
+    def pad_img(img):
+        p = jnp.pad(
+            img.astype(jnp.float32), ((0, 0), (pad, pad), (pad, pad)), mode="edge"
+        )
+        return jnp.pad(
+            p, ((0, 0), (0, Hp - p.shape[1]), (0, Wp - p.shape[2]))
+        )
+
+    kernel = functools.partial(
+        _klt_level_kernel,
+        half=half, ts=ts, pad=pad, max_iters=max_iters,
+        eps=float(eps), min_eig_thr=float(min_eigen_threshold),
+    )
+    out_pt, out_good = pl.pallas_call(
+        kernel,
+        grid=(B, F),
+        in_specs=[
+            pl.BlockSpec((1, F, 2), lambda b, i: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, F, 2), lambda b, i: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, F, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Hp, Wp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hp, Wp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, F, 2), lambda b, i: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, F, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, F, 2), jnp.float32),
+            jax.ShapeDtypeStruct((B, F, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(
+        pts_prev.astype(jnp.float32),
+        pts_cur.astype(jnp.float32),
+        valid.astype(jnp.int32)[:, :, None],
+        pad_img(img_prev),
+        pad_img(img_cur),
+    )
+    return out_pt, out_good[:, :, 0] != 0
+
+
+@functools.lru_cache(maxsize=None)
+def _track_cv(window_size: int, max_iters: int, eps: float,
+              min_eigen_threshold: float, interpret: bool):
+    """custom_vmap wrapper: a vmapped call (the image-in-the-loop pipeline
+    batches camera streams) folds its batch axis into the kernel's batch
+    grid dimension instead of going through vmap's default pallas rule."""
+
+    @jax.custom_batching.custom_vmap
+    def cv(img_prev, img_cur, pts_prev, pts_cur, valid):
+        pt, good = _track_level_batched(
+            img_prev[None], img_cur[None], pts_prev[None], pts_cur[None],
+            valid[None], window_size, max_iters, eps, min_eigen_threshold,
+            interpret,
+        )
+        return pt[0], good[0]
+
+    @cv.def_vmap
+    def _rule(axis_size, in_batched, img_prev, img_cur, pts_prev, pts_cur, valid):  # noqa: ANN001
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+        img_prev, img_cur, pts_prev, pts_cur, valid = (
+            bc(a, b) for a, b in zip(
+                (img_prev, img_cur, pts_prev, pts_cur, valid), in_batched
+            )
+        )
+        out = _track_level_batched(
+            img_prev, img_cur, pts_prev, pts_cur, valid,
+            window_size, max_iters, eps, min_eigen_threshold, interpret,
+        )
+        return out, (True, True)
+
+    return cv
+
+
 def track_level(
     img_prev,
     img_cur,
@@ -159,48 +273,8 @@ def track_level(
 ):
     """One LK level for all features. Same contract as klt._track_level:
     (pts_out (F,2), good (F,)) in the level's pixel coordinates."""
-    half = window_size // 2
-    ts = _round_up(2 * half + 4, 8)  # sample rows: tw + 1 interp row, padded
-    pad = half + 2
-    F = pts_prev.shape[0]
-    H, W = img_prev.shape
-
-    Hp = max(_round_up(H + 2 * pad, 8), ts + 8)
-    Wp = max(_round_up(W + 2 * pad, LANE), 2 * LANE)
-
-    def pad_img(img):
-        p = jnp.pad(img.astype(jnp.float32), ((pad, pad), (pad, pad)), mode="edge")
-        return jnp.pad(p, ((0, Hp - p.shape[0]), (0, Wp - p.shape[1])))
-
-    kernel = functools.partial(
-        _klt_level_kernel,
-        half=half, ts=ts, pad=pad, max_iters=max_iters,
-        eps=float(eps), min_eig_thr=float(min_eigen_threshold),
+    fn = _track_cv(
+        int(window_size), int(max_iters), float(eps),
+        float(min_eigen_threshold), bool(interpret)
     )
-    out_pt, out_good = pl.pallas_call(
-        kernel,
-        grid=(F,),
-        in_specs=[
-            pl.BlockSpec((F, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((F, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((F, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((Hp, Wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Hp, Wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((F, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((F, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((F, 2), jnp.float32),
-            jax.ShapeDtypeStruct((F, 1), jnp.int32),
-        ),
-        interpret=interpret,
-    )(
-        pts_prev.astype(jnp.float32),
-        pts_cur.astype(jnp.float32),
-        valid.astype(jnp.int32)[:, None],
-        pad_img(img_prev),
-        pad_img(img_cur),
-    )
-    return out_pt, out_good[:, 0] != 0
+    return fn(img_prev, img_cur, pts_prev, pts_cur, valid)

@@ -46,10 +46,15 @@ def null_project_3(H_f: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
     """Rows 3: of QᵀX, where Q is the complete-QR basis of H_f (n, 3).
 
     The left-nullspace projection A_nullᵀX (A_null = Q[:, 3:]) without forming
-    Q: three explicit Householder reflectors applied to X as rank-1 updates —
-    pure VPU/outer-product work instead of a batched (n, n) QR custom call
-    (replaces the SVD of msckf.h:954-957; any orthonormal nullspace basis
-    yields the identical EKF update).
+    Q (replaces the SVD of msckf.h:954-957; any orthonormal nullspace basis
+    yields the identical EKF update). The three Householder reflectors are
+    built on the tiny (n, 3) H_f, then applied to X ONCE in compact-WY form
+
+        QᵀX = X - V Tᵀ (Vᵀ X),   Q = H1 H2 H3 = I - V T Vᵀ,
+
+    i.e. two small GEMMs touching X a single time — the round-3 trace showed
+    the sequential three-rank-1-update form re-reading/re-writing the (2N,
+    D+1) X three times (~HBM-bound 5% of the frame step).
 
     Exact-zero rows of H_f produce zero reflector entries, so the matching
     rows of X are untouched — this preserves the row-compaction invariant
@@ -59,6 +64,7 @@ def null_project_3(H_f: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
     dtype = X.dtype
     M = H_f.astype(dtype)
     idx = jnp.arange(n)
+    vs, ts = [], []
     for j in range(3):
         x = jnp.where(idx >= j, M[:, j], 0.0)
         xj = x[j]
@@ -67,8 +73,25 @@ def null_project_3(H_f: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
         v = x - alpha * (idx == j)
         vtv = jnp.sum(v * v)
         scale = jnp.where(vtv > 1e-30, 2.0 / vtv, 0.0)
+        vs.append(v)
+        ts.append(scale)
         M = M - scale * jnp.outer(v, v @ M)
-        X = X - scale * jnp.outer(v, v @ X)
+
+    v1, v2, v3 = vs
+    t1, t2, t3 = ts
+    a12 = v1 @ v2
+    a13 = v1 @ v3
+    a23 = v2 @ v3
+    # LAPACK larft "forward" T for Q = H1 H2 H3 = I - V T Vᵀ (T upper-tri).
+    z = jnp.zeros((), dtype)
+    T = jnp.stack([
+        jnp.stack([t1, -t1 * t2 * a12, -t3 * (t1 * a13 - t1 * t2 * a12 * a23)]),
+        jnp.stack([z, t2, -t2 * t3 * a23]),
+        jnp.stack([z, z, t3]),
+    ])
+    V = jnp.stack([v1, v2, v3], axis=1)                     # (n, 3)
+    # Qᵀ = H3 H2 H1 = (I - V T Vᵀ)ᵀ = I - V Tᵀ Vᵀ
+    X = X - V @ (T.T @ (V.T @ X))
     return X[3:]
 
 

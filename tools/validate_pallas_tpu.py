@@ -106,17 +106,8 @@ def main():
     log(f"  vs jnp fast path:      {dt_j*1e3:8.2f} ms  speedup {dt_j/dt_k:.1f}x")
 
     # ---------------- KLT level kernel ----------------
-    if "--klt" not in sys.argv:
-        # KNOWN ISSUE: the LK kernel's Mosaic compile hangs on hardware
-        # (frontend/klt.py keeps the jnp path as the TPU default meanwhile).
-        # Pass --klt to attempt it.
-        log("klt track_level compiled: SKIPPED (Mosaic compile hang — known, jnp path is TPU default)")
-        if failures:
-            log("FAILURES:", failures)
-            sys.exit(1)
-        log("validated compiled on TPU: gamma_psd, fast_nms_score")
-        return
-
+    # (v1 hung Mosaic; the v2 banded-matmul kernel compiles clean and is the
+    # TPU default — validated here unconditionally since round 3.)
     from msckf_mono_tpu.ops import klt_pallas
     from msckf_mono_tpu.frontend import klt
 
