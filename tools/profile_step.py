@@ -107,8 +107,10 @@ def main():
     per = (time.perf_counter() - t0) / args.iters
     log(f"steady state: {per*1e3:.1f} ms/step")
 
+    from msckf_mono_tpu.eval import profile as mprofile
+
     os.makedirs(args.out, exist_ok=True)
-    with jax.profiler.trace(args.out):
+    with mprofile.trace(args.out):
         out = j(state, frame)
         np.asarray(jax.device_get(out.imu.q_IG[:1]))
 
