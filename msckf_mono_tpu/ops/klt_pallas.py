@@ -127,26 +127,33 @@ def _klt_level_kernel(
     det_g = gxx * gyy - gxy * gxy
     det_g = jnp.where(jnp.abs(det_g) > 1e-12, det_g, 1e-12)
 
-    def gn_step(i, carry):
-        cx, cy, done = carry
+    def gn_cond(carry):
+        i, cx, cy, done = carry
+        return (i < max_iters) & (done < 0.5)
+
+    def gn_step(carry):
+        i, cx, cy, done = carry
         cur = sample(img_cur_ref, cx, cy)
         diff = (cur - tpl) * wm
         bx_a = jnp.sum(diff * ix)
         by_a = jnp.sum(diff * iy)
         dx = -(gyy * bx_a - gxy * by_a) / det_g
         dy = -(-gxy * bx_a + gxx * by_a) / det_g
-        # done-masking replaces the v1 lax.cond early exit (Mosaic-hostile);
-        # converged features take zero-length steps from then on.
-        step_ok = 1.0 - done
-        cx = cx + dx * step_ok
-        cy = cy + dy * step_ok
-        done = jnp.maximum(
-            done, jnp.where(jnp.sqrt(dx * dx + dy * dy) < f32(eps), 1.0, 0.0)
-        )
-        return cx, cy, done
+        cx = cx + dx
+        cy = cy + dy
+        done = jnp.where(jnp.sqrt(dx * dx + dy * dy) < f32(eps), 1.0, 0.0)
+        return i + 1, cx, cy, done
 
+    # Scalar while_loop: unlike a lane-vectorized LK, each grid program owns
+    # ONE feature, so the convergence exit (reference cv::TermCriteria eps,
+    # corner_detector.cpp:206) really does skip the remaining iterations —
+    # typical tracks converge in ~3-5 of the 30-iteration budget. (A
+    # function-branch lax.cond hung Mosaic; a scalar-cond while_loop
+    # compiles fine.)
     not_good = jnp.where(good, 0.0, 1.0)
-    cx, cy, _ = jax.lax.fori_loop(0, max_iters, gn_step, (cx0, cy0, not_good))
+    _, cx, cy, _ = jax.lax.while_loop(
+        gn_cond, gn_step, (jnp.int32(0), cx0, cy0, not_good)
+    )
 
     out_pt_ref[0, fidx, 0] = jnp.where(good, cx, cx0)
     out_pt_ref[0, fidx, 1] = jnp.where(good, cy, cy0)
