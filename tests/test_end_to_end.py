@@ -178,3 +178,23 @@ def test_fused_updates_matches_sequential_closely():
     f_seq, f_fused = results["seq"][0], results["fused"][0]
     assert abs(int(f_fused.num_residualized) - int(f_seq.num_residualized)) <= 10
     assert int(f_fused.diag.row_overflow) == 0
+
+
+def test_anisotropic_r_end_to_end():
+    """Full sequence with the exact reference R_o (use_anisotropic_r=True):
+    must stay in the same accuracy regime as the isotropic default (the
+    sigmas differ <1% at EuRoC intrinsics, so trajectories nearly match)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, filter=dataclasses.replace(CFG.filter, use_anisotropic_r=True)
+    )
+    seq = synthetic.generate(cfg, n_frames=80, seed=4, pixel_noise=0.5)
+    final_a, outs_a = _run(seq, cfg)
+    final_i, outs_i = _run(seq, CFG)
+    est_a, est_i = np.asarray(outs_a.p_I_G), np.asarray(outs_i.p_I_G)
+    assert np.all(np.isfinite(est_a))
+    ate_a, ate_i = ate_rmse(est_a, seq.gt_p), ate_rmse(est_i, seq.gt_p)
+    assert ate_a < max(1.5 * ate_i, 0.3), (ate_a, ate_i)
+    # trajectories track each other closely (sub-cm scale differences)
+    assert float(np.max(np.linalg.norm(est_a - est_i, axis=1))) < 0.1
