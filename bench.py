@@ -218,6 +218,9 @@ def main():
         for ln in lines:
             log(ln)
         try:
+            if jax.default_backend() != "tpu":
+                raise OSError("stage artifact is TPU-only (CPU smoke runs "
+                              "must not clobber the committed table)")
             with open(os.path.join(REPO, "PROF_STAGES.txt"), "w") as f:
                 f.write(
                     f"# per-stage device times, {dev}, batch={args.batch}, "

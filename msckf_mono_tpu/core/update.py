@@ -66,9 +66,18 @@ def track_projected_rows(obs, obs_mask, p_f_G, window, g, config: MsckfConfig):
     m = jnp.sum(eff_mask)
     valid = jnp.arange(N) < m
 
-    q = window.q_CG[order]
-    p = window.p_C_G[order]
-    z = obs[order]
+    # Sorted gathers as one-hot matmuls: per-track fancy-index gathers with
+    # batched indices lower to per-element loops on TPU (round-3 trace: ~10%
+    # of the frame step across q/p/z); the same one-hot also places the
+    # 6-wide H blocks below. One-hot selection is exact at HIGHEST precision.
+    onehot = (order[:, None] == jnp.arange(N)[None, :]).astype(dtype)  # (N,N)
+
+    def sel(x):  # broadcast-sum one-hot selection: exact, fuses as VPU work
+        return jnp.sum(onehot[:, :, None] * x[None, :, :], axis=1)
+
+    q = sel(window.q_CG)
+    p = sel(window.p_C_G)
+    z = sel(obs)
 
     R = quat.to_rotmat(q)                                # (N,3,3)
     dp = p_f_G[None, :] - p                              # (N,3)
@@ -109,33 +118,35 @@ def track_projected_rows(obs, obs_mask, p_f_G, window, g, config: MsckfConfig):
     # diagonal (sorted obs n targets original slot order[n]), so a one-hot
     # broadcast-multiply materializes it as pure VPU work — a fancy-index
     # scatter here lowers to a slow TPU scatter op (measured in round 2).
-    onehot = (order[:, None] == jnp.arange(N)[None, :]).astype(dtype)  # (N,N)
-    H_cam = (H_x6[:, :, None, :] * onehot[:, None, :, None]).reshape(N, 2, 6 * N)
-    H_x = jnp.concatenate([jnp.zeros((N, 2, 15), dtype), H_cam], axis=-1)
-    H_x = H_x.reshape(2 * N, D)
+    H_cam = (H_x6[:, :, None, :] * onehot[:, None, :, None]).reshape(2 * N, 6 * N)
     H_f_rows = H_f.reshape(2 * N, 3)
     r_rows = r.reshape(2 * N)
 
     # Left-nullspace projection via three explicit Householder reflectors on
-    # [H_x | r] (replaces full-U SVD, msckf.h:954-957 — any orthonormal basis
-    # gives the identical update; see ops/linalg.null_project_3).
-    cols = [H_x, r_rows[:, None]]
+    # [H_cam | r] (replaces full-U SVD, msckf.h:954-957 — any orthonormal
+    # basis gives the identical update; see ops/linalg.null_project_3). The
+    # 15 IMU columns of H_x are identically zero (msckf.h:905-958 writes only
+    # camera blocks) and the projection acts row-wise, so they are prepended
+    # AFTER projection instead of being carried through it.
+    cols = [H_cam, r_rows[:, None]]
     if config.filter.use_anisotropic_r:
         # v-row indicator columns I_odd (row 2i+1 marks obs i's v residual)
         cols.append(
             (jnp.arange(2 * N)[:, None] == 2 * jnp.arange(N)[None, :] + 1).astype(dtype)
         )
-    Xr = jnp.concatenate(cols, axis=1)                    # (2N, D+1[+N])
-    proj = null_project_3(H_f_rows, Xr)                   # (2N-3, D+1[+N])
-    H_o = proj[:, :D]
-    r_o = proj[:, D]
+    Xr = jnp.concatenate(cols, axis=1)                    # (2N, 6N+1[+N])
+    proj = null_project_3(H_f_rows, Xr)                   # (2N-3, 6N+1[+N])
+    H_o = jnp.concatenate(
+        [jnp.zeros((2 * N - 3, 15), dtype), proj[:, : 6 * N]], axis=1
+    )
+    r_o = proj[:, 6 * N]
 
     rows_valid = jnp.arange(2 * N - 3) < jnp.maximum(2 * m - 3, 0)
     H_o = H_o * rows_valid[:, None]
     r_o = r_o * rows_valid
     V = None
     if config.filter.use_anisotropic_r:
-        V = proj[:, D + 1 :] * rows_valid[:, None]
+        V = proj[:, 6 * N + 1 :] * rows_valid[:, None]
     return H_o, r_o, rows_valid, V
 
 
@@ -171,8 +182,15 @@ def gating_test_all(H_all, r_all, P, dof, sigma2, config: MsckfConfig):
     """
     dtype = H_all.dtype
     S_, R, D = H_all.shape
-    HP = jnp.einsum("srd,de->sre", H_all, P)
-    Smat = jnp.einsum("srd,std->srt", HP, H_all) + sigma2 * jnp.eye(R, dtype=dtype)
+    # HIGH (3-pass bf16) suffices for a THRESHOLD test: the ~1e-6 relative
+    # error on S cannot meaningfully move gamma across an order-1 chi^2
+    # bound, and the gate einsums were ~6% of the frame step at 6-pass
+    # (round-3 trace). The UPDATE math stays at the ambient (highest)
+    # precision — 3-pass there degrades the covariance over long horizons
+    # (MIXED_PRECISION.md addendum).
+    gate_prec = jax.lax.Precision.HIGH
+    HP = jnp.einsum("srd,de->sre", H_all, P, precision=gate_prec)
+    Smat = jnp.einsum("srd,std->srt", HP, H_all, precision=gate_prec) + sigma2 * jnp.eye(R, dtype=dtype)
     if psd_pallas.use_pallas_default():
         gamma = psd_pallas.gamma_psd(Smat, r_all)
     else:
