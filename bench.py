@@ -56,6 +56,11 @@ def main():
                          "pixels -> Pallas FAST/KLT front-end -> filter, all "
                          "on device (the reference's live pipeline, "
                          "ros_interface.cpp:48-120)")
+    ap.add_argument("--independent-streams", action="store_true",
+                    help="with --images: give every filter its own front-end "
+                         "instead of the Monte-Carlo shared-camera default "
+                         "(shared lets XLA hoist image-only work — pyramid, "
+                         "FAST — out of the batch)")
     ap.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--timeout", type=int, default=1500,
                     help="watchdog seconds per attempt (tunneled TPUs can wedge)")
@@ -301,7 +306,10 @@ def _run_images(args, cfg):
     dt_ = jnp.asarray(seq.imu_dt, jnp.float32)
     tm = jnp.asarray(seq.time, jnp.float32)
 
-    run = pipeline.batched_run_images(cfg, fcfg)
+    if args.independent_streams:
+        run = pipeline.batched_run_images(cfg, fcfg)
+    else:
+        run = pipeline.batched_run_images_shared(cfg, fcfg)
 
     chunk = min(10, T)
     while T % chunk:
@@ -316,7 +324,8 @@ def _run_images(args, cfg):
             return jnp.broadcast_to(x[:, None], (Tc, B) + x.shape[1:])
 
         frames = pipeline.ImageFrameInput(
-            image=b(img_c), imu_omega=b(om_c), imu_acc=b(ac_c), imu_dt=b(dt_c),
+            image=b(img_c) if args.independent_streams else img_c,
+            imu_omega=b(om_c), imu_acc=b(ac_c), imu_dt=b(dt_c),
             state_id=b(sid_c), time=b(tm_c),
             frame_valid=jnp.ones((Tc, B), bool),
         )
@@ -359,8 +368,12 @@ def _run_images(args, cfg):
     print(json.dumps({
         "metric": "image_in_loop_frame_steps_per_s",
         "value": value,
-        "unit": ("image-frame-steps/s (batch={} streams, {}x{} px, pyramid+KLT"
-                 "+FAST on device + full filter)").format(B, H, W),
+        "unit": ("image-frame-steps/s (batch={} {}, {}x{} px, pyramid+KLT"
+                 "+FAST on device + full filter)").format(
+                     B,
+                     "independent streams" if args.independent_streams
+                     else "Monte-Carlo filters, one shared camera",
+                     H, W),
         "vs_baseline": round(value / 20.0, 2),
         "diagnostics": {"ate_m": round(float(ate), 4)},
     }))

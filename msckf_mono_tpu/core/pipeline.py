@@ -126,3 +126,32 @@ def batched_run_images(config: MsckfConfig, fcfg: FrontendConfig):
         )(states, fstates, frames)
 
     return run
+
+
+def batched_run_images_shared(config: MsckfConfig, fcfg: FrontendConfig):
+    """Monte-Carlo variant: B filters sharing ONE camera stream.
+
+    ``frames.image`` is (T, H, W) and vmapped with ``in_axes=None`` — XLA
+    then hoists every image-only computation (pyramid build, FAST+NMS
+    scoring) out of the batch, computing it once per frame; only the
+    track-dependent work (KLT, grid selection, the filter) stays batched.
+    This is the fleet configuration (BASELINE configs 2/3/5: perturbed inits
+    on the same sequence) with the front-end genuinely in the loop.
+
+    NOTE: the per-filter front-end STATE (tracks/ids) still diverges across
+    the batch (each filter's gyro-bias estimate warps predictions
+    differently), so results are not identical across filters.
+    """
+    frame_axes = ImageFrameInput(
+        image=None, imu_omega=1, imu_acc=1, imu_dt=1,
+        state_id=1, time=1, frame_valid=1,
+    )
+
+    def run(states, fstates, frames):
+        return jax.vmap(
+            lambda s, fs, f: run_images(s, fs, f, config, fcfg),
+            in_axes=(0, 0, frame_axes),
+            out_axes=(0, 0, 1),
+        )(states, fstates, frames)
+
+    return run

@@ -87,15 +87,16 @@ def _integral_boxsum(img, half: int):
 
     # sum over rows [v-half, v+half) cols [u-half, u+half)
     # = ii[v+half, u+half] - ii[v-half, u+half] - ii[v+half, u-half] + ii[v-half, u-half]
-    out = jnp.zeros((H, W), img.dtype)
-    ys = jnp.arange(H)
-    xs = jnp.arange(W)
-    y0 = jnp.clip(ys - half, 0, H)
-    y1 = jnp.clip(ys + half, 0, H)
-    x0 = jnp.clip(xs - half, 0, W)
-    x1 = jnp.clip(xs + half, 0, W)
+    # The clipped corner lookups are STATIC slices of an edge-padded integral
+    # image (fancy-index gathers here lowered to per-element loops on TPU —
+    # round-3 image-pipeline trace).
+    iip = jnp.pad(ii, ((half, half), (half, half)), mode="edge")
+    h2 = 2 * half
     out = (
-        ii[y1][:, x1] - ii[y0][:, x1] - ii[y1][:, x0] + ii[y0][:, x0]
+        iip[h2 : h2 + H, h2 : h2 + W]
+        - iip[0:H, h2 : h2 + W]
+        - iip[h2 : h2 + H, 0:W]
+        + iip[0:H, 0:W]
     )
     return out
 
@@ -169,20 +170,25 @@ def detect_features(
     cell = (yy // grid_h) * n_cols + (xx // grid_w)      # (H, W)
 
     cand = nms & ~occupied_cells[cell]
-    scores = jnp.where(cand, st, -1.0).reshape(-1)
-    cell_flat = cell.reshape(-1)
+    scores = jnp.where(cand, st, -1.0)
 
-    import jax
-
-    best = jax.ops.segment_max(scores, cell_flat, num_segments=n_cells)
-    # winner pixel per cell: smallest flat index achieving the max
-    pix = jnp.arange(H * W)
-    is_best = (scores == best[cell_flat]) & (scores > 0)
-    winner = jax.ops.segment_min(
-        jnp.where(is_best, pix, H * W), cell_flat, num_segments=n_cells
-    )
-    valid = (best > detection_threshold) & (winner < H * W)
-    wy = (winner // W).astype(jnp.float32)
-    wx = (winner % W).astype(jnp.float32)
+    # Best-per-cell as TILE reductions: the grid cells are regular tiles, so
+    # pad to a multiple of the cell size, reshape to (n_cells, cell_px) and
+    # reduce — segment_max/min lowered to scatters (round-3 image trace).
+    # Tile-local row-major order equals image row-major order within a cell,
+    # so argmax's first-occurrence tie-break matches the old smallest-flat-
+    # index rule exactly.
+    Hp = n_rows * grid_h
+    Wp = n_cols * grid_w
+    sp = jnp.pad(scores, ((0, Hp - H), (0, Wp - W)), constant_values=-1.0)
+    tiles = sp.reshape(n_rows, grid_h, n_cols, grid_w).transpose(0, 2, 1, 3)
+    flat = tiles.reshape(n_cells, grid_h * grid_w)
+    best = jnp.max(flat, axis=1)
+    local = jnp.argmax(flat, axis=1)
+    cy = jnp.arange(n_cells) // n_cols
+    cx = jnp.arange(n_cells) % n_cols
+    wy = (cy * grid_h + local // grid_w).astype(jnp.float32)
+    wx = (cx * grid_w + local % grid_w).astype(jnp.float32)
+    valid = best > detection_threshold
     xy = jnp.stack([wx, wy], axis=-1)
     return jnp.where(valid[:, None], xy, 0.0), jnp.where(valid, best, 0.0), valid

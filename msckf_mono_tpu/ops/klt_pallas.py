@@ -13,12 +13,13 @@ offsets from one fractional center, so the whole window sample factors into
     rows:  (1-fy) * img[by : by+TS, :]  +  fy * img[by+1 : by+1+TS, :]
     cols:  rows @ Sx,   Sx[bx+c, c] = 1-fx,  Sx[bx+c+1, c] = fx
 
-i.e. one dynamic *sublane* slice pair plus one MXU matmul with a banded
-column matrix that folds BOTH the column-slab selection and the fractional
-x-interpolation — no gathers at all, and no dynamic indexing on the lane
-dimension. The image level lives in VMEM for the whole call (grid programs
-revisit the same block); each grid program tracks one feature through
-`max_iters` Gauss-Newton steps.
+i.e. one 8-aligned sublane slice, one dynamic lane ROTATION (bx to lane 0 +
+two static slices for the fractional x-interp), and one small banded matmul
+for the y-interp — no gathers at all. (v2 used a full-width (Wp, LANE)
+column matmul instead of the rotation; that made the kernel MXU-bound at
+~19 MFLOP per GN iteration vs ~0.5 now.) The image level lives in VMEM for
+the whole call (grid programs revisit the same block); each grid program
+tracks one feature through Gauss-Newton with a real convergence exit.
 
 Mosaic lessons (v1 of this kernel hung the compiler; each item below was a
 candidate and v2 removes all of them):
@@ -61,18 +62,17 @@ def _klt_level_kernel(
     out_pt_ref, out_good_ref,     # SMEM (1,F,·) output blocks
     *,
     half: int, ts: int, pad: int, max_iters: int, eps: float, min_eig_thr: float,
+    pack: int,
 ):
     # Per-feature scalars travel as FULL SMEM arrays indexed with
     # program_id — Mosaic rejects (1, 2) SMEM blocks (block dims must divide
     # (8, 128) or equal the array's).
-    fidx = pl.program_id(1)
+    gidx = pl.program_id(1)
     w = 2 * half + 1
     Hp, Wp = img_prev_ref.shape[1:]
     f32 = jnp.float32
 
-    # Iotas for the banded interpolation matrices.
-    srow = jax.lax.broadcasted_iota(jnp.int32, (Wp, LANE), 0)
-    scol = jax.lax.broadcasted_iota(jnp.int32, (Wp, LANE), 1)
+    # Iotas for the banded y-interpolation matrix.
     yrow = jax.lax.broadcasted_iota(jnp.int32, (ts, ts + 8), 0)
     ycol = jax.lax.broadcasted_iota(jnp.int32, (ts, ts + 8), 1)
     wrow = jax.lax.broadcasted_iota(jnp.int32, (ts, LANE), 0)
@@ -85,8 +85,10 @@ def _klt_level_kernel(
 
         Mosaic requires sublane slice bases to be provably 8-aligned, so the
         load happens at by8 = 8*(by//8) and the row remainder rides in the
-        same banded matrix as the fractional y-interpolation:
-        window = Sy @ rows_aligned @ Sx (two MXU matmuls, no gathers).
+        banded y-interpolation matrix. Columns: a dynamic LANE-axis rotation
+        brings bx to lane 0, then the fractional x-interp is two static
+        slices — the v2 full-width (Wp x LANE) column matmul made the whole
+        kernel MXU-bound (~19 MFLOP per GN iteration vs ~0.5 here).
         """
         bxf = px - f32(half + 1) + f32(pad)
         byf = py - f32(half + 1) + f32(pad)
@@ -97,67 +99,84 @@ def _klt_level_kernel(
         by8 = pl.multiple_of((by // 8) * 8, 8)
         rem = by - by8  # in [0, 8)
         rows_a = img_ref[0, pl.ds(by8, ts + 8), :]               # (ts+8, Wp)
+        rot = pltpu.roll(rows_a, (-bx) % Wp, 1)                  # bx -> lane 0
+        xwin = (1.0 - fx) * rot[:, :LANE] + fx * rot[:, 1 : LANE + 1]
         sy = jnp.where(ycol == yrow + rem, 1.0 - fy, 0.0) + jnp.where(
             ycol == yrow + rem + 1, fy, 0.0
         )                                                        # (ts, ts+8)
-        rows = jnp.dot(sy, rows_a, preferred_element_type=f32)   # (ts, Wp)
-        # Banded full-width column matrix: window column c reads image
-        # columns bx+c (weight 1-fx) and bx+c+1 (weight fx).
-        sx = jnp.where(srow == bx + scol, 1.0 - fx, 0.0) + jnp.where(
-            srow == bx + scol + 1, fx, 0.0
-        )                                                        # (Wp, LANE)
-        return jnp.dot(rows, sx, preferred_element_type=f32)     # (ts, LANE)
+        return jnp.dot(sy, xwin, preferred_element_type=f32)     # (ts, LANE)
 
-    px, py = ptp_ref[0, fidx, 0], ptp_ref[0, fidx, 1]
-    cx0, cy0 = ptc_ref[0, fidx, 0], ptc_ref[0, fidx, 1]
+    # ---- PACK features per grid program (python-unrolled) ----
+    # The per-program fixed overhead dominated the image pipeline at one
+    # feature per program (~16k programs/frame at 64 streams x 64 features x
+    # 4 levels — round-3 trace); packing amortizes it. One shared while_loop
+    # runs until every packed feature converges, with per-feature done masks
+    # freezing finished tracks (same math as the single-feature loop).
+    feats = []
+    for k in range(pack):
+        fidx = gidx * pack + k
+        px, py = ptp_ref[0, fidx, 0], ptp_ref[0, fidx, 1]
+        cx0, cy0 = ptc_ref[0, fidx, 0], ptc_ref[0, fidx, 1]
 
-    tpl = sample(img_prev_ref, px, py)
-    ix = 0.5 * (pltpu.roll(tpl, LANE - 1, 1) - pltpu.roll(tpl, 1, 1)) * wm
-    iy = 0.5 * (pltpu.roll(tpl, ts - 1, 0) - pltpu.roll(tpl, 1, 0)) * wm
+        tpl = sample(img_prev_ref, px, py)
+        ix = 0.5 * (pltpu.roll(tpl, LANE - 1, 1) - pltpu.roll(tpl, 1, 1)) * wm
+        iy = 0.5 * (pltpu.roll(tpl, ts - 1, 0) - pltpu.roll(tpl, 1, 0)) * wm
 
-    gxx = jnp.sum(ix * ix)
-    gxy = jnp.sum(ix * iy)
-    gyy = jnp.sum(iy * iy)
-    win_n = f32(w * w)
-    tr = (gxx + gyy) / win_n
-    det = (gxx * gyy - gxy * gxy) / (win_n * win_n)
-    min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0)))
-    good = (valid_ref[0, fidx, 0] != 0) & (min_eig > f32(min_eig_thr))
-
-    det_g = gxx * gyy - gxy * gxy
-    det_g = jnp.where(jnp.abs(det_g) > 1e-12, det_g, 1e-12)
+        gxx = jnp.sum(ix * ix)
+        gxy = jnp.sum(ix * iy)
+        gyy = jnp.sum(iy * iy)
+        win_n = f32(w * w)
+        tr = (gxx + gyy) / win_n
+        det = (gxx * gyy - gxy * gxy) / (win_n * win_n)
+        min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0)))
+        good = (valid_ref[0, fidx, 0] != 0) & (min_eig > f32(min_eig_thr))
+        det_g = gxx * gyy - gxy * gxy
+        det_g = jnp.where(jnp.abs(det_g) > 1e-12, det_g, 1e-12)
+        feats.append(dict(tpl=tpl, ix=ix, iy=iy, gxx=gxx, gxy=gxy, gyy=gyy,
+                          det_g=det_g, good=good, cx0=cx0, cy0=cy0))
 
     def gn_cond(carry):
-        i, cx, cy, done = carry
-        return (i < max_iters) & (done < 0.5)
+        i = carry[0]
+        done_all = carry[1 + 2 * pack:]
+        alldone = done_all[0]
+        for d in done_all[1:]:
+            alldone = jnp.minimum(alldone, d)
+        return (i < max_iters) & (alldone < 0.5)
 
     def gn_step(carry):
-        i, cx, cy, done = carry
-        cur = sample(img_cur_ref, cx, cy)
-        diff = (cur - tpl) * wm
-        bx_a = jnp.sum(diff * ix)
-        by_a = jnp.sum(diff * iy)
-        dx = -(gyy * bx_a - gxy * by_a) / det_g
-        dy = -(-gxy * bx_a + gxx * by_a) / det_g
-        cx = cx + dx
-        cy = cy + dy
-        done = jnp.where(jnp.sqrt(dx * dx + dy * dy) < f32(eps), 1.0, 0.0)
-        return i + 1, cx, cy, done
+        i = carry[0]
+        cs = list(carry[1 : 1 + 2 * pack])
+        ds = list(carry[1 + 2 * pack :])
+        for k in range(pack):
+            fd = feats[k]
+            cx, cy, done = cs[2 * k], cs[2 * k + 1], ds[k]
+            cur = sample(img_cur_ref, cx, cy)
+            diff = (cur - fd["tpl"]) * wm
+            bx_a = jnp.sum(diff * fd["ix"])
+            by_a = jnp.sum(diff * fd["iy"])
+            dx = -(fd["gyy"] * bx_a - fd["gxy"] * by_a) / fd["det_g"]
+            dy = -(-fd["gxy"] * bx_a + fd["gxx"] * by_a) / fd["det_g"]
+            live = 1.0 - done
+            cs[2 * k] = cx + dx * live
+            cs[2 * k + 1] = cy + dy * live
+            ds[k] = jnp.maximum(
+                done, jnp.where(jnp.sqrt(dx * dx + dy * dy) < f32(eps), 1.0, 0.0)
+            )
+        return tuple([i + 1] + cs + ds)
 
-    # Scalar while_loop: unlike a lane-vectorized LK, each grid program owns
-    # ONE feature, so the convergence exit (reference cv::TermCriteria eps,
-    # corner_detector.cpp:206) really does skip the remaining iterations —
-    # typical tracks converge in ~3-5 of the 30-iteration budget. (A
-    # function-branch lax.cond hung Mosaic; a scalar-cond while_loop
-    # compiles fine.)
-    not_good = jnp.where(good, 0.0, 1.0)
-    _, cx, cy, _ = jax.lax.while_loop(
-        gn_cond, gn_step, (jnp.int32(0), cx0, cy0, not_good)
-    )
-
-    out_pt_ref[0, fidx, 0] = jnp.where(good, cx, cx0)
-    out_pt_ref[0, fidx, 1] = jnp.where(good, cy, cy0)
-    out_good_ref[0, fidx, 0] = good.astype(jnp.int32)
+    init = [jnp.int32(0)]
+    for k in range(pack):
+        init += [feats[k]["cx0"], feats[k]["cy0"]]
+    for k in range(pack):
+        init.append(jnp.where(feats[k]["good"], 0.0, 1.0))
+    out = jax.lax.while_loop(gn_cond, gn_step, tuple(init))
+    cs = out[1 : 1 + 2 * pack]
+    for k in range(pack):
+        fidx = gidx * pack + k
+        good = feats[k]["good"]
+        out_pt_ref[0, fidx, 0] = jnp.where(good, cs[2 * k], feats[k]["cx0"])
+        out_pt_ref[0, fidx, 1] = jnp.where(good, cs[2 * k + 1], feats[k]["cy0"])
+        out_good_ref[0, fidx, 0] = good.astype(jnp.int32)
 
 
 @functools.partial(
@@ -197,14 +216,20 @@ def _track_level_batched(
             p, ((0, 0), (0, Hp - p.shape[1]), (0, Wp - p.shape[2]))
         )
 
+    # Feature packing: amortize per-grid-program overhead (see kernel
+    # docstring). 4 features/program unless F doesn't divide.
+    pack = 4
+    while F % pack:
+        pack -= 1
+
     kernel = functools.partial(
         _klt_level_kernel,
         half=half, ts=ts, pad=pad, max_iters=max_iters,
-        eps=float(eps), min_eig_thr=float(min_eigen_threshold),
+        eps=float(eps), min_eig_thr=float(min_eigen_threshold), pack=pack,
     )
     out_pt, out_good = pl.pallas_call(
         kernel,
-        grid=(B, F),
+        grid=(B, F // pack),
         in_specs=[
             pl.BlockSpec((1, F, 2), lambda b, i: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, F, 2), lambda b, i: (b, 0, 0), memory_space=pltpu.SMEM),
