@@ -98,7 +98,8 @@ def main():
     cfg = dataclasses.replace(
         cfg,
         filter=dataclasses.replace(cfg.filter, fused_updates=True,
-                                   matmul_precision=prec),
+                                   matmul_precision=prec,
+                                   gating_precision="high"),
     )
     dev = jax.devices()[0]
     n_dev = jax.device_count()
@@ -266,8 +267,6 @@ def _run_images(args, cfg):
     image-frame-steps/s: each step includes pyramid build, Pallas KLT
     tracking, FAST+Shi-Tomasi detection, and the full filter frame.
     """
-    import time as _time
-
     import jax
     import jax.numpy as jnp
 
@@ -311,7 +310,7 @@ def _run_images(args, cfg):
     else:
         run = pipeline.batched_run_images_shared(cfg, fcfg)
 
-    chunk = min(10, T)
+    chunk = min(args.chunk if args.chunk > 0 else 10, T)
     while T % chunk:
         chunk -= 1
     n_chunks = T // chunk
@@ -412,6 +411,8 @@ def _supervise(args):
             cmd += ["--stages"]
         if args.images:
             cmd += ["--images"]
+        if args.independent_streams:
+            cmd += ["--independent-streams"]
         log(f"bench attempt [{name}]: platform={platform or 'default'} "
             f"batch={batch} frames={frames}")
         try:
@@ -431,8 +432,10 @@ def _supervise(args):
             return
         log(f"bench attempt [{name}] failed rc={proc.returncode}")
         failures.append(f"{name}(batch={batch}):rc={proc.returncode}")
+    metric = ("image_in_loop_frame_steps_per_s" if args.images
+              else "batched_vio_frame_steps_per_s")
     print(json.dumps({
-        "metric": "batched_vio_frame_steps_per_s",
+        "metric": metric,
         "value": 0.0,
         "unit": "frame-steps/s; ALL ATTEMPTS FAILED: " + ", ".join(failures),
         "vs_baseline": 0.0,

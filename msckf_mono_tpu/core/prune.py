@@ -145,7 +145,10 @@ def prune_prep(state: FilterState, config: MsckfConfig):
     p_new_tab = jnp.zeros_like(tracks.p_f_G).at[torder].set(
         jnp.where(ok_t[:, None], p_new_t, 0.0)
     )
-    n_tri_dropped = jnp.maximum(jnp.sum(tri_cand) - T, 0).astype(jnp.int32)
+    # Which tracks got an LM attempt (regardless of success) — used below to
+    # count tri-budget drops without double-counting candidates the S buffer
+    # already dropped.
+    tri_attempted_tab = jnp.zeros_like(tracks.initialized).at[torder].set(t_valid)
 
     # Compact candidate tracks into a fixed buffer. Sized separately from
     # marginalize's buffer: most live tracks observe the removed slots, so
@@ -158,6 +161,11 @@ def prune_prep(state: FilterState, config: MsckfConfig):
     c_init = tracks.initialized[order] & c_valid
     c_new = newly_init_tab[order] & c_valid
     n_dropped_tracks = jnp.maximum(jnp.sum(cand) - S, 0).astype(jnp.int32)
+    # Tri-budget drops counted only among IN-BUFFER candidates (a candidate
+    # beyond both budgets loses one update, not two).
+    n_tri_dropped = jnp.sum(
+        c_valid & ~c_init & ~tri_attempted_tab[order]
+    ).astype(jnp.int32)
 
     use_track = c_valid & (c_init | c_new)
     p_use = jnp.where(c_new[:, None], p_new_tab[order], tracks.p_f_G[order])

@@ -182,13 +182,16 @@ def gating_test_all(H_all, r_all, P, dof, sigma2, config: MsckfConfig):
     """
     dtype = H_all.dtype
     S_, R, D = H_all.shape
-    # HIGH (3-pass bf16) suffices for a THRESHOLD test: the ~1e-6 relative
-    # error on S cannot meaningfully move gamma across an order-1 chi^2
-    # bound, and the gate einsums were ~6% of the frame step at 6-pass
-    # (round-3 trace). The UPDATE math stays at the ambient (highest)
-    # precision — 3-pass there degrades the covariance over long horizons
-    # (MIXED_PRECISION.md addendum).
-    gate_prec = jax.lax.Precision.HIGH
+    # The gate einsums follow their own precision knob: "high" (3-pass bf16)
+    # suffices for a THRESHOLD test (~1e-6 relative on S cannot meaningfully
+    # move gamma across an order-1 chi^2 bound) and was ~6% of the frame step
+    # at 6-pass (round-3 trace); strict-parity configs keep "highest". The
+    # UPDATE math always uses the ambient precision — 3-pass there degrades
+    # the covariance over long horizons (MIXED_PRECISION.md addendum).
+    gate_prec = {
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }.get(config.filter.gating_precision, jax.lax.Precision.HIGHEST)
     HP = jnp.einsum("srd,de->sre", H_all, P, precision=gate_prec)
     Smat = jnp.einsum("srd,std->srt", HP, H_all, precision=gate_prec) + sigma2 * jnp.eye(R, dtype=dtype)
     if psd_pallas.use_pallas_default():

@@ -195,11 +195,18 @@ def _track_level_batched(
     min_eigen_threshold: float,
     interpret: bool,
 ):
-    """Batched LK level: (B,H,W) images x (B,F,2) points -> (B,F,2), (B,F)."""
+    """Batched LK level: images x (B,F,2) points -> (B,F,2), (B,F).
+
+    Images may be (B, H, W) per-stream or (1, H, W) SHARED across the batch
+    (the Monte-Carlo pipeline): shared images are padded once and every grid
+    program reads block 0 — no B-fold broadcast ever materializes.
+    """
     half = window_size // 2
     ts = _round_up(2 * half + 4, 8)  # sample rows: tw + 1 interp row, padded
     pad = half + 2
     B, F = pts_prev.shape[0], pts_prev.shape[1]
+    Bi = img_prev.shape[0]
+    assert Bi in (1, B), (Bi, B)
     H, W = img_prev.shape[1:]
 
     # +24 extra bottom rows: the aligned sublane load spans [by8, by8+ts+8)
@@ -234,8 +241,10 @@ def _track_level_batched(
             pl.BlockSpec((1, F, 2), lambda b, i: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, F, 2), lambda b, i: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, F, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Hp, Wp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hp, Wp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hp, Wp), (lambda b, i: (b, 0, 0)) if Bi != 1
+                         else (lambda b, i: (0, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hp, Wp), (lambda b, i: (b, 0, 0)) if Bi != 1
+                         else (lambda b, i: (0, 0, 0)), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, F, 2), lambda b, i: (b, 0, 0), memory_space=pltpu.SMEM),
@@ -277,11 +286,21 @@ def _track_cv(window_size: int, max_iters: int, eps: float,
         def bc(x, b):
             return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
 
-        img_prev, img_cur, pts_prev, pts_cur, valid = (
-            bc(a, b) for a, b in zip(
-                (img_prev, img_cur, pts_prev, pts_cur, valid), in_batched
-            )
-        )
+        # Unbatched IMAGES stay (1, H, W): the kernel reads block 0 for every
+        # stream (shared-camera Monte-Carlo mode) — broadcasting them B-fold
+        # here would materialize B padded pyramid copies in HBM. The kernel
+        # requires both images at the same batch size, so a mixed case (one
+        # shared, one per-stream) broadcasts the shared one.
+        i_b, ic_b, pp_b, pc_b, v_b = in_batched
+        if i_b == ic_b:
+            img_prev = img_prev if i_b else img_prev[None]
+            img_cur = img_cur if ic_b else img_cur[None]
+        else:
+            img_prev = bc(img_prev, i_b)
+            img_cur = bc(img_cur, ic_b)
+        pts_prev = bc(pts_prev, pp_b)
+        pts_cur = bc(pts_cur, pc_b)
+        valid = bc(valid, v_b)
         out = _track_level_batched(
             img_prev, img_cur, pts_prev, pts_cur, valid,
             window_size, max_iters, eps, min_eigen_threshold, interpret,

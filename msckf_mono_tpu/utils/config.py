@@ -87,6 +87,11 @@ class FilterConfig:
     # bf16 MXU passes whose mantissa destroys covariance algebra; "float32"
     # (a.k.a. highest) keeps true f32.
     matmul_precision: str = "highest"
+    # Precision of the GATING einsums only (S = HPH^T + sigma^2 I for the
+    # chi^2 test). "high" (3-pass bf16, ~1e-6 relative on S) is safe for a
+    # threshold test and measurably cheaper; default follows the strict
+    # configuration, the bench/serving config sets "high".
+    gating_precision: str = "highest"
 
     # Fuse the marginalize and prune-redundant EKF updates into ONE stacked
     # update per frame (one gate batch, one (R,R) solve, one Joseph pass
@@ -134,11 +139,12 @@ class ShapeConfig:
 
     num_slots: int = 28            # camera-state window slots (max_cam_states + headroom)
     max_tracks: int = 128          # live feature-track rows
-    max_staged: int = 8            # tracks residualized per frame step
+    max_staged: int = 16           # tracks residualized per frame step
     #   (was 32; measured per-frame track deaths on the EuRoC-scale world:
-    #   mean 0.9, max 4 — diag.staged_overflow counts any burst beyond 8.
-    #   finish() force-residualizes in ⌈max_tracks/max_staged⌉ passes either
-    #   way.)
+    #   mean 0.9, max 4 — 16 keeps 4x burst headroom for real data (texture
+    #   boundaries can kill many tracks at once) and diag.staged_overflow
+    #   counts anything beyond it. finish() force-residualizes in
+    #   ⌈max_tracks/max_staged⌉ passes either way.)
     max_staged_prune: int = 48     # candidate buffer of the redundant-prune update
     #   (was 64; the round-3 TPU trace showed the prune path's 64-candidate
     #   triangulation + row sweep dominating the frame step. Overflowing
