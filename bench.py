@@ -111,8 +111,13 @@ def main():
     # in v5e HBM while small batches keep the low sequential depth of the
     # unchunked path. Computed from the post-snap batch (ADVICE r2).
     chunk_s = max(8, 8192 // max(args.batch, 1))
+    # max_staged=8 here: the bench's synthetic world has MEASURED per-frame
+    # track deaths of mean 0.9 / max 4 (the library default keeps 16 for
+    # real data's burst behavior); diag.staged_overflow in the JSON would
+    # expose any violation.
     cfg = dataclasses.replace(
-        cfg, shapes=dataclasses.replace(cfg.shapes, staged_chunk=chunk_s)
+        cfg, shapes=dataclasses.replace(cfg.shapes, staged_chunk=chunk_s,
+                                        max_staged=8)
     )
     log(f"device: {dev}, batch={args.batch}, frames={args.frames}")
 
