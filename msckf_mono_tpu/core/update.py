@@ -14,10 +14,11 @@ Re-design of ``calcResidual`` / ``calcMeasJacobian`` / ``gatingTest`` /
   with dynamic nonzero-row dropping (msckf.h:1343-1366) becomes a fixed-shape
   reduced QR with zero-row *masking* (see :func:`compress_rows`) — identical
   update, static shapes.
-* Measurement noise is treated as isotropic σ² = u_var_prime, matching the
+* Measurement noise defaults to isotropic σ² = u_var_prime, matching the
   gating test exactly (msckf.h:1114) and the update to ~(u_var'/v_var'-1)
-  relative error (u_var' and v_var' differ by <1% on EuRoC). Documented
-  deviation from the anisotropic R_o of msckf.h:423.
+  relative error (u_var' and v_var' differ by <1% on EuRoC);
+  ``FilterConfig.use_anisotropic_r`` enables the reference's exact projected
+  R_o = A_jᵀ diag(u_var', v_var') A_j as a low-rank σu²I + (σv²-σu²)VVᵀ term.
 * Joseph-form covariance correction + symmetrization (msckf.h:1394-1403).
 """
 

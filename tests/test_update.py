@@ -435,3 +435,33 @@ def test_anisotropic_equals_isotropic_when_fv_eq_fu():
     np.testing.assert_allclose(
         np.asarray(out_a.imu.p_I_G), np.asarray(out_i.imu.p_I_G), atol=1e-12
     )
+
+
+def test_qr_compression_matches_direct_update():
+    """use_qr_compression (the reference's T_H path, msckf.h:1343-1366) must
+    produce the identical update to the direct S-form solve with isotropic R
+    (H = Q1 T_H => Q1ᵀ R Q1 = sigma^2 I — proved in the module docstring)."""
+    import dataclasses
+
+    cfg_qr = dataclasses.replace(
+        CFG, filter=dataclasses.replace(CFG.filter, use_qr_compression=True)
+    )
+    state = _state_with_window(8, seed=12)
+    g = jnp.asarray([0.0, 0.0, -9.81])
+    point = np.array([0.2, -0.3, 5.5])
+    obs, mask = _observe(state, point, 6, noise=1e-3, seed=5)
+    sigma2 = jnp.asarray(CFG.u_var_prime)
+
+    H_o, r_o, rv, _ = upd.track_projected_rows(
+        obs, mask, jnp.asarray(point), state.window, g, CFG
+    )
+    H = H_o * rv[:, None]
+    r = r_o * rv
+    out_direct = upd.measurement_update(state, H, r, sigma2, CFG)
+    out_qr = upd.measurement_update(state, H, r, sigma2, cfg_qr)
+    np.testing.assert_allclose(
+        np.asarray(out_qr.imu.p_I_G), np.asarray(out_direct.imu.p_I_G), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_qr.P), np.asarray(out_direct.P), atol=1e-9
+    )
