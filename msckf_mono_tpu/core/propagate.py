@@ -29,32 +29,53 @@ from msckf_mono_tpu.utils.config import MsckfConfig
 
 
 def calc_F(imu: ImuState, omega, a):
-    """Continuous-time error-state Jacobian (reference msckf.h:874-890)."""
+    """Continuous-time error-state Jacobian (reference msckf.h:874-890).
+
+    Assembled as block concatenations — sequential ``.at[].set`` writes on a
+    zeros base lowered to chains of dynamic-update-slices on TPU (~3% of the
+    round-3 frame step across the 10 per-frame samples).
+    """
     dtype = omega.dtype
     omega_hat = omega - imu.b_g
     a_hat = a - imu.b_a
     C_IG = quat.to_rotmat(imu.q_IG)
     eye3 = jnp.eye(3, dtype=dtype)
+    z3 = jnp.zeros((3, 3), dtype)
 
-    F = jnp.zeros((15, 15), dtype)
-    F = F.at[0:3, 0:3].set(-quat.skew(omega_hat))
-    F = F.at[0:3, 3:6].set(-eye3)
-    F = F.at[6:9, 0:3].set(-C_IG.T @ quat.skew(a_hat))
-    F = F.at[6:9, 9:12].set(-C_IG.T)
-    F = F.at[12:15, 6:9].set(eye3)
-    return F
+    def row(blocks):
+        return jnp.concatenate(blocks, axis=1)
+
+    return jnp.concatenate(
+        [
+            row([-quat.skew(omega_hat), -eye3, z3, z3, z3]),
+            row([z3, z3, z3, z3, z3]),
+            row([-C_IG.T @ quat.skew(a_hat), z3, z3, -C_IG.T, z3]),
+            row([z3, z3, z3, z3, z3]),
+            row([z3, z3, eye3, z3, z3]),
+        ],
+        axis=0,
+    )
 
 
 def calc_G(imu: ImuState, dtype):
     """Noise input Jacobian (reference msckf.h:892-903)."""
     C_IG = quat.to_rotmat(imu.q_IG)
     eye3 = jnp.eye(3, dtype=dtype)
-    G = jnp.zeros((15, 12), dtype)
-    G = G.at[0:3, 0:3].set(-eye3)
-    G = G.at[3:6, 3:6].set(eye3)
-    G = G.at[6:9, 6:9].set(-C_IG.T)
-    G = G.at[9:12, 9:12].set(eye3)
-    return G
+    z3 = jnp.zeros((3, 3), dtype)
+
+    def row(blocks):
+        return jnp.concatenate(blocks, axis=1)
+
+    return jnp.concatenate(
+        [
+            row([-eye3, z3, z3, z3]),
+            row([z3, eye3, z3, z3]),
+            row([z3, z3, -C_IG.T, z3]),
+            row([z3, z3, z3, eye3]),
+            row([z3, z3, z3, z3]),
+        ],
+        axis=0,
+    )
 
 
 def propagate_imu_state(imu: ImuState, omega, a, dt) -> ImuState:
