@@ -140,8 +140,8 @@ def _fused_vision_update(state: FilterState, staged, config: MsckfConfig) -> Fil
         obs, masks, p_all, ok_all, window, g, state.P, sigma2, config
     )
     H, r, gate_ok, rows_present, n_dropped = out[:5]
-    V = out[5] if config.filter.use_anisotropic_r else None
-    state = update.measurement_update(state, H, r, sigma2, config, V=V)
+    V, tids = (out[5], out[6]) if config.filter.use_anisotropic_r else (None, None)
+    state = update.measurement_update(state, H, r, sigma2, config, V=V, v_track_ids=tids)
 
     state = update.marginalize_post(
         state, staged, p_f, track_ok, motion_ok, tri_ok,

@@ -228,7 +228,7 @@ def prune_redundant_states(state: FilterState, config: MsckfConfig) -> FilterSta
         window, g, state.P, sigma2, config
     )
     H, r, gate_ok, _rows_present, n_rows_dropped = out[:5]
-    V = out[5] if config.filter.use_anisotropic_r else None
-    state = measurement_update(state, H, r, sigma2, config, V=V)
+    V, tids = (out[5], out[6]) if config.filter.use_anisotropic_r else (None, None)
+    state = measurement_update(state, H, r, sigma2, config, V=V, v_track_ids=tids)
 
     return prune_post(state, prep, gate_ok, n_rows_dropped, config)

@@ -18,7 +18,9 @@ Re-design of ``calcResidual`` / ``calcMeasJacobian`` / ``gatingTest`` /
   gating test exactly (msckf.h:1114) and the update to ~(u_var'/v_var'-1)
   relative error (u_var' and v_var' differ by <1% on EuRoC);
   ``FilterConfig.use_anisotropic_r`` enables the reference's exact projected
-  R_o = A_jᵀ diag(u_var', v_var') A_j as a low-rank σu²I + (σv²-σu²)VVᵀ term.
+  R_o = blockdiag_tracks(A_jᵀ diag(u_var', v_var') A_j) as a low-rank
+  σu²I + (σv²-σu²)·(VVᵀ ⊙ same-track) term (per-row track ids zero the
+  cross-track products, matching the reference's per-track blocks).
 * Joseph-form covariance correction + symmetrization (msckf.h:1394-1403).
 """
 
@@ -220,7 +222,13 @@ def gated_row_stack(obs, obs_mask, p_f, track_ok, window, g, P, sigma2,
     S=64 (measured OOM, round 2); chunked at C=8 it needs ~1.5 GB.
 
     Returns (H (R_MAX, D), r (R_MAX,), gate_ok (S,), rows_present (S,),
-    n_dropped[, V (R_MAX, N) when ``use_anisotropic_r``]).
+    n_dropped[, V (R_MAX, N), v_track_ids (R_MAX,) when
+    ``use_anisotropic_r``]). ``v_track_ids[j]`` is 1 + the staged-track index
+    that produced row j (0 for padding rows); downstream the reference's
+    *block-diagonal-per-track* R_o (msckf.h:411-431 stacks each track's block
+    at its own offset) is reproduced by zeroing VVᵀ products between rows with
+    different ids — without it, tracks observing the same window slots would
+    acquire spurious cross-track noise correlations.
     ``rows_present[s]`` is True iff track s contributed at least
     one valid row (its gate passed AND it produced non-masked projected rows —
     a track whose observations all fail the depth guard yields zero rows even
@@ -231,7 +239,7 @@ def gated_row_stack(obs, obs_mask, p_f, track_ok, window, g, P, sigma2,
     D = config.shapes.state_dim
     R_MAX = config.shapes.max_update_rows
     aniso = config.filter.use_anisotropic_r
-    W = D + 1 + (N if aniso else 0)
+    W = D + 1 + (N + 1 if aniso else 0)
     C = min(config.shapes.staged_chunk, S)
     while S % C:
         C -= 1
@@ -246,6 +254,7 @@ def gated_row_stack(obs, obs_mask, p_f, track_ok, window, g, P, sigma2,
         p_f.reshape(n_chunks, C, 3),
         track_ok.reshape(n_chunks, C),
         dof.reshape(n_chunks, C),
+        jnp.arange(S, dtype=jnp.int32).reshape(n_chunks, C),
     )
 
     # Row compaction into the fixed budget is a one-hot selection MATMUL:
@@ -267,13 +276,21 @@ def gated_row_stack(obs, obs_mask, p_f, track_ok, window, g, P, sigma2,
 
     def body(carry, x):
         buf, count, total = carry
-        o, m, pf, ok, df = x
+        o, m, pf, ok, df, sid = x
         H_c, r_c, rv_c, V_c = jax.vmap(
             lambda oo, mm, pp: track_projected_rows(oo, mm, pp, window, g, config)
         )(o, m, pf)
         gate_c = gating_test_all(H_c, r_c, P, df, sigma2, config)
         rm = rv_c & (ok & gate_c)[:, None]
-        cols = [H_c, r_c[..., None]] + ([V_c] if aniso else [])
+        cols = [H_c, r_c[..., None]]
+        if aniso:
+            # 1-based track-id column (0 = padding row; a padding row's V is
+            # all-zero so its products vanish either way — the +1 just keeps
+            # ids unambiguous).
+            tid = jnp.broadcast_to(
+                (sid + 1).astype(dtype)[:, None, None], (C, R, 1)
+            )
+            cols += [V_c, tid]
         rows = jnp.concatenate(cols, axis=-1).reshape(C * R, W)
         rmf = rm.reshape(C * R)
         nv = jnp.sum(rmf).astype(jnp.int32)
@@ -289,7 +306,7 @@ def gated_row_stack(obs, obs_mask, p_f, track_ok, window, g, P, sigma2,
     n_dropped = jnp.maximum(total - R_MAX, 0).astype(jnp.int32)
     out = (H, r, gate_ok.reshape(S), rows_present.reshape(S), n_dropped)
     if aniso:
-        out = out + (buf[:R_MAX, D + 1 :],)
+        out = out + (buf[:R_MAX, D + 1 : D + 1 + N], buf[:R_MAX, D + 1 + N])
     return out
 
 
@@ -354,7 +371,7 @@ def compress_rows(H, r):
 
 
 def measurement_update(state: FilterState, H, r, sigma2, config: MsckfConfig,
-                       V=None) -> FilterState:
+                       V=None, v_track_ids=None) -> FilterState:
     """EKF update (msckf.h:1325-1423): Kalman gain via a Cholesky solve,
     multiplicative correction, Joseph-form covariance.
 
@@ -368,8 +385,13 @@ def measurement_update(state: FilterState, H, r, sigma2, config: MsckfConfig,
     reference-shaped path.
 
     ``V`` (rows, N): projected v-row coefficients; when given (anisotropic-R
-    parity mode), the noise is R_n = σu²I + (σv²-σu²)VVᵀ — exactly the
-    reference's R_o (msckf.h:411-431, basis-invariant).
+    parity mode), the noise is R_n = σu²I + (σv²-σu²)·M with
+    M = VVᵀ ⊙ [same-track], which is exactly the reference's block-diagonal
+    R_o (msckf.h:411-431, one A_jᵀdiag(u',v')A_j block per track at its own
+    row offset; the projection basis is irrelevant — the update is
+    basis-invariant). ``v_track_ids`` (rows,) supplies the per-row track tag
+    from :func:`gated_row_stack`; without it (single-track callers) M = VVᵀ,
+    which is the same thing because all rows share one track.
     """
     dtype = H.dtype
     D = H.shape[1]
@@ -382,7 +404,10 @@ def measurement_update(state: FilterState, H, r, sigma2, config: MsckfConfig,
     S_mat = H @ P @ H.T + sigma2 * jnp.eye(H.shape[0], dtype=dtype)
     if V is not None:
         dv = jnp.asarray(config.v_var_prime - config.u_var_prime, dtype)
-        S_mat = S_mat + dv * (V @ V.T)
+        M = V @ V.T
+        if v_track_ids is not None:
+            M = M * (v_track_ids[:, None] == v_track_ids[None, :])
+        S_mat = S_mat + dv * M
     # K = P Hᵀ S⁻¹ via Cholesky (see _psd_solve for the TPU rationale).
     K = _psd_solve(S_mat, H @ P).T
     deltaX = K @ r
@@ -390,8 +415,7 @@ def measurement_update(state: FilterState, H, r, sigma2, config: MsckfConfig,
     IKH = jnp.eye(D, dtype=dtype) - K @ H
     P_new = IKH @ P @ IKH.T + sigma2 * (K @ K.T)
     if V is not None:
-        KV = K @ V
-        P_new = P_new + dv * (KV @ KV.T)
+        P_new = P_new + dv * (K @ M @ K.T)
     P_new = 0.5 * (P_new + P_new.T)
 
     state = apply_correction(state, deltaX, config)
@@ -471,9 +495,9 @@ def marginalize(state: FilterState, staged: StagedTracks, config: MsckfConfig) -
         sigma2, config,
     )
     H, r, gate_ok, rows_present, n_dropped = out[:5]
-    V = out[5] if config.filter.use_anisotropic_r else None
+    V, tids = (out[5], out[6]) if config.filter.use_anisotropic_r else (None, None)
 
-    state = measurement_update(state, H, r, sigma2, config, V=V)
+    state = measurement_update(state, H, r, sigma2, config, V=V, v_track_ids=tids)
     return marginalize_post(
         state, staged, p_f_G, track_ok, motion_ok, tri_ok, gate_ok,
         rows_present, n_dropped, config,

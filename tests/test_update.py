@@ -465,3 +465,117 @@ def test_qr_compression_matches_direct_update():
     np.testing.assert_allclose(
         np.asarray(out_qr.P), np.asarray(out_direct.P), atol=1e-9
     )
+
+
+def _ref_track_block(state, obs_np, n_obs, point, cfg):
+    """Reference-style (msckf.h:905-978, 404-431) projected rows for ONE
+    track via an SVD nullspace basis: returns (H_o (2m-3, D), r_o (2m-3,),
+    R_o (2m-3, 2m-3)) — the track's exact projected noise block."""
+    from msckf_mono_tpu.utils import quat as q
+
+    g = np.asarray(state.imu.g)
+    Rm = np.stack([np.asarray(q.to_rotmat(state.window.q_CG[i])) for i in range(n_obs)])
+    p = np.asarray(state.window.p_C_G[:n_obs])
+    dp = point[None, :] - p
+    p_f_C = np.einsum("nij,nj->ni", Rm, dp)
+    X, Y, Z = p_f_C[:, 0], p_f_C[:, 1], p_f_C[:, 2]
+    inv_z = 1.0 / Z
+    J = np.zeros((n_obs, 2, 3))
+    J[:, 0, 0] = inv_z
+    J[:, 0, 2] = -X * inv_z**2
+    J[:, 1, 1] = inv_z
+    J[:, 1, 2] = -Y * inv_z**2
+
+    def skew(v):
+        return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+
+    A = np.concatenate(
+        [np.einsum("nab,nbc->nac", J, np.stack([skew(v) for v in p_f_C])),
+         -np.einsum("nab,nbc->nac", J, Rm)], axis=-1)
+    u = np.concatenate(
+        [np.einsum("nij,j->ni", Rm, g),
+         np.einsum("nij,j->ni", np.stack([skew(v) for v in dp]), g)], axis=-1)
+    uu = np.sum(u * u, axis=-1, keepdims=True)
+    Au = np.einsum("nab,nb->na", A, u)
+    H_x6 = A - Au[:, :, None] * (u / uu)[:, None, :]
+    H_f = -H_x6[:, :, 3:6].reshape(2 * n_obs, 3)
+    D_ = cfg.shapes.state_dim
+    H_x = np.zeros((2 * n_obs, D_))
+    for n in range(n_obs):
+        H_x[2 * n : 2 * n + 2, 15 + 6 * n : 15 + 6 * n + 6] = H_x6[n]
+    z_hat = np.stack([X * inv_z, Y * inv_z], axis=-1)
+    r_full = (obs_np[:n_obs] - z_hat).reshape(2 * n_obs)
+
+    U, _sv, _ = np.linalg.svd(H_f, full_matrices=True)
+    A_j = U[:, 3:]
+    rep = np.tile([cfg.u_var_prime, cfg.v_var_prime], n_obs)
+    return A_j.T @ H_x, A_j.T @ r_full, A_j.T @ np.diag(rep) @ A_j
+
+
+def test_anisotropic_r_multitrack_block_diagonal():
+    """ADVICE r3 (medium): with several staged tracks, R_o must be
+    block-diagonal PER TRACK (msckf.h stacks each track's
+    A_jᵀdiag(u',v')A_j at its own offset, R_o.block(stack_counter, ...)).
+    The v_track_ids masking in measurement_update makes the stacked update
+    exactly equal to the dense block-diagonal reference computation."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, filter=dataclasses.replace(CFG.filter, use_anisotropic_r=True)
+    )
+    cfg = dataclasses.replace(
+        cfg, camera=dataclasses.replace(cfg.camera, f_v=cfg.camera.f_u * 0.5)
+    )
+    g = jnp.asarray([0.0, 0.0, -9.81])
+    sigma2 = jnp.asarray(cfg.u_var_prime)
+
+    state = _state_with_window(8, seed=21)
+    state = state.replace(imu=state.imu.replace(g=g))
+    rng = np.random.default_rng(5)
+    n_obs = [6, 5, 7]
+    S = max(16, cfg.shapes.max_staged)
+    obs = np.zeros((S, N, 2))
+    masks = np.zeros((S, N), bool)
+    pts = np.zeros((S, 3))
+    ok = np.zeros((S,), bool)
+    for s, m in enumerate(n_obs):
+        point = np.array([rng.uniform(-0.5, 0.5), rng.uniform(-0.5, 0.5), rng.uniform(4, 7)])
+        o, mk = _observe(state, point, m, noise=1e-4, seed=30 + s)
+        obs[s], masks[s], pts[s], ok[s] = np.asarray(o), np.asarray(mk), point, True
+
+    out = upd.gated_row_stack(
+        jnp.asarray(obs), jnp.asarray(masks), jnp.asarray(pts), jnp.asarray(ok),
+        state.window, g, state.P, sigma2, cfg,
+    )
+    H, r, gate_ok, _rp, nd, V, tids = out
+    assert bool(jnp.all(gate_ok[: len(n_obs)])), "fixture tracks must pass the gate"
+    assert int(nd) == 0
+    # rows of different tracks carry different ids
+    real = np.asarray(jnp.sum(V * V, axis=1)) > 0
+    assert len(np.unique(np.asarray(tids)[real])) == len(n_obs)
+
+    ours = upd.measurement_update(state, H, r, sigma2, cfg, V=V, v_track_ids=tids)
+
+    # dense reference: stacked rows + block-diagonal R_o
+    D_ = cfg.shapes.state_dim
+    blocks = [_ref_track_block(state, obs[s], n_obs[s], pts[s], cfg) for s in range(len(n_obs))]
+    H_ref = np.concatenate([b[0] for b in blocks])
+    r_ref = np.concatenate([b[1] for b in blocks])
+    R_ref = np.zeros((H_ref.shape[0], H_ref.shape[0]))
+    off = 0
+    for b in blocks:
+        k = b[2].shape[0]
+        R_ref[off : off + k, off : off + k] = b[2]
+        off += k
+
+    P = np.asarray(state.P)
+    S_mat = H_ref @ P @ H_ref.T + R_ref
+    K = P @ H_ref.T @ np.linalg.inv(S_mat)
+    dx_ref = K @ r_ref
+    IKH = np.eye(D_) - K @ H_ref
+    P_ref = IKH @ P @ IKH.T + K @ R_ref @ K.T
+
+    np.testing.assert_allclose(
+        np.asarray(ours.imu.p_I_G - state.imu.p_I_G), dx_ref[12:15], atol=1e-9
+    )
+    np.testing.assert_allclose(np.asarray(ours.P), P_ref, atol=1e-8)
