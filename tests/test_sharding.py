@@ -150,27 +150,6 @@ def test_scaling_efficiency_curve(fleet):
         assert np.isfinite(float(metrics["mean_pos_cov_trace"]))
     # all mesh sizes produced a real measurement
     assert all(v > 0 for v in results.values()), results
-    # Record the curve where the repo snapshot keeps it (BASELINE "scaling"
-    # needs an inspectable number; on real multi-chip ICI the per-device
-    # efficiency target is >=80% — unreachable to VALIDATE on a shared-core
-    # virtual mesh, but the ratio is recorded with that caveat).
-    import json
-    import os
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    rec = {
-        "filters_per_s_by_mesh_size": {str(k): round(v, 1) for k, v in results.items()},
-        "relative_to_1dev": {
-            str(k): round(v / results[1], 3) for k, v in results.items()
-        },
-        "caveat": (
-            "8 virtual CPU devices share one host's cores, so wall-clock "
-            "does not improve with mesh size here; this records the "
-            "MECHANISM (sharded compile+run+collectives at every size). "
-            "Real >=80% ICI scaling needs multi-chip hardware, which this "
-            "environment does not provide (BASELINE config 5 proxy: "
-            "tests/test_multiprocess.py)."
-        ),
-    }
-    with open(os.path.join(repo, "SCALING_VIRTUAL.json"), "w") as f:
-        json.dump(rec, f, indent=1)
+    # The committed SCALING_VIRTUAL.json artifact is emitted by
+    # tools/scaling_virtual.py (ADVICE r3: tests must not mutate committed
+    # artifacts with machine-dependent timings).
