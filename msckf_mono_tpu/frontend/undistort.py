@@ -24,8 +24,16 @@ def distort_radtan(xy, coeffs):
     return jnp.stack([xd, yd], axis=-1)
 
 
-def undistort_radtan(xy_dist, coeffs, iters: int = 8):
-    """Iterative compensation, mirroring cv::undistortPoints' fixed-point loop."""
+def undistort_radtan(xy_dist, coeffs, iters: int = 5):
+    """Iterative compensation, mirroring cv::undistortPoints' fixed-point loop.
+
+    Default ``iters=5`` matches cv::undistortPoints' default termination
+    criteria (TermCriteria(COUNT, 5, 0.01)), which is what the reference calls
+    (corner_detector.cpp:431-434) — measured 2.8e-7 max normalized diff vs
+    cv2 5.0 on EuRoC-strength distortion (tools/cv_parity_report.py). More
+    iterations converge closer to the true inverse but AWAY from the
+    reference's actual output (~1.2e-3 normalized ≈ 0.5 px at EuRoC focal).
+    """
     k1, k2, p1, p2 = coeffs[0], coeffs[1], coeffs[2], coeffs[3]
     k3 = coeffs[4] if len(coeffs) > 4 else 0.0
     x0, y0 = xy_dist[..., 0], xy_dist[..., 1]
