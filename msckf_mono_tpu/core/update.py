@@ -397,16 +397,34 @@ def measurement_update(state: FilterState, H, r, sigma2, config: MsckfConfig,
     D = H.shape[1]
     P = state.P
 
-    if config.filter.use_qr_compression:
-        assert V is None, "QR compression and anisotropic R are mutually exclusive"
-        H, r = compress_rows(H, r)  # (k, D), k = min(rows, D)
-
-    S_mat = H @ P @ H.T + sigma2 * jnp.eye(H.shape[0], dtype=dtype)
     if V is not None:
         dv = jnp.asarray(config.v_var_prime - config.u_var_prime, dtype)
         M = V @ V.T
         if v_track_ids is not None:
             M = M * (v_track_ids[:, None] == v_track_ids[None, :])
+
+    if config.filter.use_qr_compression:
+        if V is None:
+            H, r = compress_rows(H, r)  # (k, D), k = min(rows, D)
+        else:
+            # Reference-exact compressed-anisotropic update: with R_o != σ²I
+            # the compressed and direct updates are NOT algebraically equal
+            # (the dropped-row block of Q couples through R_o), so parity
+            # requires projecting R_o = σu²I + dv·M through Q₁ exactly as
+            # msckf.h:1365-1366 does (R_n = Q₁ᵀ R_o Q₁). Row keep uses the
+            # reference's exact-nonzero rule (R.rowwise().any(),
+            # msckf.h:1347), not compress_rows' relative tolerance.
+            # Measured: this closes the residual ~4e-6 state gap vs the
+            # compiled reference (tools/ref_harness/run_parity.py).
+            Q, Rq = jnp.linalg.qr(H, mode="reduced")
+            keep = jnp.max(jnp.abs(Rq), axis=1) > 0.0
+            H = Rq * keep[:, None]
+            Q1 = Q * keep[None, :]
+            r = (Q.T @ r) * keep
+            M = Q1.T @ M @ Q1
+
+    S_mat = H @ P @ H.T + sigma2 * jnp.eye(H.shape[0], dtype=dtype)
+    if V is not None:
         S_mat = S_mat + dv * M
     # K = P Hᵀ S⁻¹ via Cholesky (see _psd_solve for the TPU rationale).
     K = _psd_solve(S_mat, H @ P).T
