@@ -120,6 +120,8 @@ def main(argv=None):
         return uv[order].astype(dtype), ids[order].astype(jnp.int32), valid[order]
 
     est = []
+    map_accum = []     # cumulative map_ (msckf.h:50)
+    pruned_accum = []  # pruned_states_ rows: [state_id, time, q(4), p(3)]
     t_start = time.perf_counter()
     b_g_est = np.asarray(imu0.b_g)
     # threaded decode-ahead (native/loader.cpp): image decode overlaps with
@@ -151,13 +153,34 @@ def main(argv=None):
         state, out = step(state, frame)
         est.append(np.asarray(out.p_I_G))
         b_g_est = np.asarray(state.imu.b_g)
+        # cumulative map + pruned-pose archive (reference msckf.h:49-50;
+        # published asl_msckf.cpp:337-352 and :405-428)
+        m = np.asarray(state.map_mask)
+        if m.any():
+            map_accum.append(np.asarray(state.map_pts)[m])
+        tm = np.asarray(state.tri_map_mask)
+        if tm.any():
+            map_accum.append(np.asarray(state.tri_map_pts)[tm])
+        pm = np.asarray(state.pruned_mask)
+        if pm.any():
+            pruned_accum.append(np.concatenate([
+                np.asarray(state.pruned_ids)[pm, None].astype(np.float64),
+                np.asarray(state.pruned_time)[pm, None],
+                np.asarray(state.pruned_q)[pm],
+                np.asarray(state.pruned_p)[pm],
+            ], axis=1))
         if i % 100 == 0:
             print(f"frame {i}/{len(frame_ts)}", file=sys.stderr)
 
     prefetch.close()
     if args.finish:
-        state = jax.jit(lambda s: msckf_filter.finish(s, cfg))(state)
+        state, fpts, fmask = jax.jit(
+            lambda s: msckf_filter.finish(s, cfg, collect_map=True)
+        )(state)
         est[-1] = np.asarray(state.imu.p_I_G)
+        fm = np.asarray(fmask)
+        if fm.any():
+            map_accum.append(np.asarray(fpts)[fm])
 
     wall = time.perf_counter() - t_start
     est = np.asarray(est)
@@ -171,7 +194,19 @@ def main(argv=None):
     print(json.dumps(report, indent=2))
 
     if args.out:
-        np.savez(args.out, est=est, time=frame_ts / 1e9)
+        map_pts = (np.concatenate(map_accum) if map_accum
+                   else np.zeros((0, 3), np.float32))
+        pruned = (np.concatenate(pruned_accum) if pruned_accum
+                  else np.zeros((0, 9)))
+        pruned = pruned[np.argsort(pruned[:, 0], kind="stable")]
+        np.savez(
+            args.out, est=est, time=frame_ts / 1e9,
+            map=map_pts,                     # cumulative map_ (msckf.h:820-823)
+            pruned_state_id=pruned[:, 0].astype(np.int32),
+            pruned_time=pruned[:, 1],
+            pruned_q_CG=pruned[:, 2:6],      # pruned path (msckf.h:840-848)
+            pruned_p_C_G=pruned[:, 6:9],
+        )
 
 
 if __name__ == "__main__":

@@ -74,6 +74,7 @@ def step(state: FilterState, frame: FrameInput, config: MsckfConfig):
     is free to use the fast default.
     """
     state0 = state
+    state = prune.clear_frame_archive(state)
 
     with jax.default_matmul_precision(config.filter.matmul_precision):
         state = propagate_block(state, frame, config)
@@ -187,7 +188,7 @@ def _stage_pass(state: FilterState, config: MsckfConfig):
     return state.replace(tracks=cleared), staged, remaining
 
 
-def finish(state: FilterState, config: MsckfConfig) -> FilterState:
+def finish(state: FilterState, config: MsckfConfig, collect_map: bool = False):
     """End-of-sequence: residualize EVERY remaining eligible track
     (msckf.h:765-807 force-residualizes all of them).
 
@@ -199,6 +200,10 @@ def finish(state: FilterState, config: MsckfConfig) -> FilterState:
     track/frame steady state; finish() force-residualizes up to ``max_staged``
     long tracks per pass, so it runs with the budget raised to the worst case
     (a separately-jitted program — config is static, state shapes unchanged).
+
+    With ``collect_map`` returns (state, pts (n_passes·S, 3), mask) — every
+    point triangulated by the final passes, for the cumulative map surface
+    (the reference's finish marginalizes push to ``map_`` too, msckf.h:372).
     """
     import dataclasses
 
@@ -209,8 +214,14 @@ def finish(state: FilterState, config: MsckfConfig) -> FilterState:
         config, shapes=dataclasses.replace(shp, max_update_rows=worst_rows)
     )
 
+    pts, masks = [], []
     with jax.default_matmul_precision(config.filter.matmul_precision):
         for _ in range(n_passes):
             state, staged, _ = _stage_pass(state, config)
             state = update.marginalize(state, staged, config)
+            if collect_map:
+                pts.append(state.map_pts)
+                masks.append(state.map_mask)
+    if collect_map:
+        return state, jnp.concatenate(pts), jnp.concatenate(masks)
     return state

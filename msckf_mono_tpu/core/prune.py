@@ -38,6 +38,47 @@ def slot_has_active_features(state: FilterState):
     return jnp.any(state.tracks.active[:, None] & state.tracks.obs_mask, axis=0)
 
 
+def _archive_removed(state: FilterState, rm) -> FilterState:
+    """Append the rm-marked slots' poses (at removal) to the per-frame pruned
+    archive — the feed for the reference's ``pruned_states_``
+    (msckf.h:49; pushes at :525/:715 in both prune paths). Both prune stages
+    of one frame append into the same N-wide buffer (their slot sets are
+    disjoint, so total removals per frame are bounded by the window size).
+
+    The append is a one-hot matmul (batched scatters with per-filter indices
+    lower to per-element loops on TPU; one-hot selection is exact at the
+    step's HIGHEST matmul precision).
+    """
+    w = state.window
+    dtype = state.P.dtype
+    N = rm.shape[0]
+    n_old = jnp.sum(state.pruned_mask.astype(jnp.int32))
+    tgt = n_old + jnp.cumsum(rm.astype(jnp.int32)) - 1
+    sel = ((tgt[None, :] == jnp.arange(N)[:, None]) & rm[None, :]).astype(dtype)
+    newrow = jnp.sum(sel, axis=1) > 0
+    ids_f = sel @ w.state_id.astype(dtype)
+    return state.replace(
+        pruned_q=jnp.where(newrow[:, None], sel @ w.q_CG, state.pruned_q),
+        pruned_p=jnp.where(newrow[:, None], sel @ w.p_C_G, state.pruned_p),
+        pruned_time=jnp.where(newrow, sel @ w.time, state.pruned_time),
+        pruned_ids=jnp.where(newrow, ids_f.astype(jnp.int32), state.pruned_ids),
+        pruned_mask=state.pruned_mask | newrow,
+    )
+
+
+def clear_frame_archive(state: FilterState) -> FilterState:
+    """Reset the per-frame pruned/tri-map buffers (called at frame start)."""
+    return state.replace(
+        pruned_q=jnp.zeros_like(state.pruned_q),
+        pruned_p=jnp.zeros_like(state.pruned_p),
+        pruned_time=jnp.zeros_like(state.pruned_time),
+        pruned_ids=jnp.full_like(state.pruned_ids, -1),
+        pruned_mask=jnp.zeros_like(state.pruned_mask),
+        tri_map_pts=jnp.zeros_like(state.tri_map_pts),
+        tri_map_mask=jnp.zeros_like(state.tri_map_mask),
+    )
+
+
 def prune_empty_states(state: FilterState, config: MsckfConfig) -> FilterState:
     N = config.shapes.num_slots
     max_states = config.filter.max_cam_states
@@ -54,6 +95,7 @@ def prune_empty_states(state: FilterState, config: MsckfConfig) -> FilterState:
     n_remove = jnp.where((count > max_states) & ~has[0], n_remove, 0)
 
     keep = state.window.valid & (idx >= n_remove)
+    state = _archive_removed(state, state.window.valid & ~keep)
     return compact_slots(state, keep)
 
 
@@ -174,6 +216,7 @@ def prune_prep(state: FilterState, config: MsckfConfig):
         rm=rm, c_obs=c_obs, c_mask_inv=c_mask_inv, p_use=p_use,
         use_track=use_track, newly_init_tab=newly_init_tab,
         p_new_tab=p_new_tab,
+        tri_pts=p_new_t, tri_ok=ok_t,
         n_dropped_tracks=n_dropped_tracks + n_tri_dropped,
     )
 
@@ -198,9 +241,17 @@ def prune_post(state: FilterState, prep, gate_ok, n_rows_dropped,
         obs_mask=tracks.obs_mask & ~rm[None, :],
         obs=tracks.obs * (~rm[None, :, None]),
     )
-    state = state.replace(tracks=tracks)
+    state = state.replace(
+        tracks=tracks,
+        # prune-stage map contributions (the reference pushes points
+        # triangulated here to map_ as well, msckf.h:531)
+        tri_map_pts=prep["tri_pts"].astype(state.P.dtype),
+        tri_map_mask=prep["tri_ok"],
+    )
 
-    # Remove the slots.
+    # Archive then remove the slots (poses are post-one-last-update here,
+    # matching the reference's push of *cam_state_it at msckf.h:631).
+    state = _archive_removed(state, state.window.valid & rm)
     keep = state.window.valid & ~rm
     state = compact_slots(state, keep)
 

@@ -114,6 +114,19 @@ class FilterState:
     num_residualized: jnp.ndarray  # int32; guards checkMotion (msckf.h:354)
     map_pts: jnp.ndarray       # (S, 3) last frame's triangulated points (msckf.h:50)
     map_mask: jnp.ndarray      # (S,) bool
+    # Prune-stage map contributions of THIS frame (the reference also pushes
+    # points triangulated inside pruneRedundantStates to map_, msckf.h:531).
+    tri_map_pts: jnp.ndarray   # (T_tri, 3)
+    tri_map_mask: jnp.ndarray  # (T_tri,)
+    # Camera states removed THIS frame (cleared at frame start, appended by
+    # both prune stages) — the per-frame feed for the reference's
+    # pruned_states_ archive (msckf.h:49, getter :840-848). Host drivers
+    # (VioInterface, cli/run_euroc) accumulate these across frames.
+    pruned_q: jnp.ndarray      # (N, 4) pose at removal
+    pruned_p: jnp.ndarray      # (N, 3)
+    pruned_time: jnp.ndarray   # (N,)
+    pruned_ids: jnp.ndarray    # (N,) int32
+    pruned_mask: jnp.ndarray   # (N,) bool
     diag: Diagnostics
 
 
@@ -170,9 +183,17 @@ def init_filter_state(config: MsckfConfig, imu: ImuState | None = None, dtype=jn
         gating_rejects=zero, triangulation_rejects=zero, motion_rejects=zero,
         updates_applied=zero,
     )
+    T_tri = config.shapes.max_tri_prune
     return FilterState(
         imu=imu, window=window, tracks=tracks, P=P,
         num_residualized=zero,
         map_pts=jnp.zeros((S, 3), dtype), map_mask=jnp.zeros((S,), bool),
+        tri_map_pts=jnp.zeros((T_tri, 3), dtype),
+        tri_map_mask=jnp.zeros((T_tri,), bool),
+        pruned_q=jnp.zeros((N, 4), dtype),
+        pruned_p=jnp.zeros((N, 3), dtype),
+        pruned_time=jnp.zeros((N,), dtype),
+        pruned_ids=jnp.full((N,), -1, jnp.int32),
+        pruned_mask=jnp.zeros((N,), bool),
         diag=diag,
     )

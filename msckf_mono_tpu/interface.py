@@ -88,6 +88,8 @@ class VioInterface:
         self.state = None
         self.frame_count = 0
         self._q_CI = jnp.asarray(cam.q_CI, dtype)
+        self._map_accum: list[np.ndarray] = []
+        self._pruned_accum: list[dict] = []
 
         cfg = self.config
         self._step = jax.jit(lambda s, f: msckf_filter.step(s, f, cfg))
@@ -163,6 +165,7 @@ class VioInterface:
         )
         self.state, self._last_out = self._step(self.state, frame)
         self._last_image_time = time
+        self._accumulate_map_and_pruned()
 
         if self.visualizer is not None:
             self.visualizer.add_current_features(th.cur_pts, th.cur_ids, th.cur_valid)
@@ -238,11 +241,60 @@ class VioInterface:
         mask = np.asarray(self.state.map_mask)
         return np.asarray(self.state.map_pts)[mask]
 
+    def _accumulate_map_and_pruned(self):
+        """Host-side accumulation of the reference's unbounded ``map_`` and
+        ``pruned_states_`` archives (msckf.h:49-50) from the per-frame
+        device buffers."""
+        s = self.state
+        m = np.asarray(s.map_mask)
+        if m.any():
+            self._map_accum.append(np.asarray(s.map_pts)[m])
+        tm = np.asarray(s.tri_map_mask)
+        if tm.any():
+            self._map_accum.append(np.asarray(s.tri_map_pts)[tm])
+        pm = np.asarray(s.pruned_mask)
+        if pm.any():
+            self._pruned_accum.append(
+                dict(
+                    state_id=np.asarray(s.pruned_ids)[pm],
+                    time=np.asarray(s.pruned_time)[pm],
+                    q_CG=np.asarray(s.pruned_q)[pm],
+                    p_C_G=np.asarray(s.pruned_p)[pm],
+                )
+            )
+
+    def map(self) -> np.ndarray:
+        """CUMULATIVE map: every feature triangulated over the whole run —
+        the reference's ``map_`` / ``getMap()`` (msckf.h:50, :820-823,
+        published asl_msckf.cpp:337-352)."""
+        if not self._map_accum:
+            return np.zeros((0, 3))
+        return np.concatenate(self._map_accum, axis=0)
+
+    def pruned_states(self) -> dict:
+        """Archived camera poses at their removal, sorted by state_id —
+        the reference's ``pruned_states_`` / ``getPrunedStates()``
+        (msckf.h:49, :840-848; pruned-path publisher asl_msckf.cpp:405-428)."""
+        if not self._pruned_accum:
+            return {"state_id": np.zeros((0,), np.int32),
+                    "time": np.zeros((0,)),
+                    "q_CG": np.zeros((0, 4)), "p_C_G": np.zeros((0, 3))}
+        cat = {k: np.concatenate([d[k] for d in self._pruned_accum])
+               for k in self._pruned_accum[0]}
+        order = np.argsort(cat["state_id"], kind="stable")
+        return {k: v[order] for k, v in cat.items()}
+
     def finish(self):
         """End-of-sequence: residualize every remaining track in one final
-        update (MSCKF::finish, reference msckf.h:765-807)."""
+        update (MSCKF::finish, reference msckf.h:765-807). Points
+        triangulated by the final passes join the cumulative map."""
         cfg = self.config
-        self.state = jax.jit(lambda s: msckf_filter.finish(s, cfg))(self.state)
+        self.state, pts, mask = jax.jit(
+            lambda s: msckf_filter.finish(s, cfg, collect_map=True)
+        )(self.state)
+        m = np.asarray(mask)
+        if m.any():
+            self._map_accum.append(np.asarray(pts)[m])
 
     def track_overlay(self) -> np.ndarray:
         """RGB debug image with tracks drawn (ros_interface.cpp:145-155)."""

@@ -43,7 +43,7 @@ def test_standstill_calibration():
 @pytest.mark.slow
 def test_live_pipeline_rendered_images():
     cfg = MsckfConfig()
-    n_frames = 20
+    n_frames = 26  # enough to cross max_cam_states so the prune archive fires
     seq, world = synthetic.generate(
         cfg, n_frames=n_frames, seed=0, pixel_noise=0.0, n_landmarks=500,
         return_world=True,
@@ -88,3 +88,17 @@ def test_live_pipeline_rendered_images():
     assert vio.map_points().shape[1] == 3 if vio.map_points().size else True
     odo = vio.odometry()
     assert odo["q_IG"].shape == (4,)
+
+    # cumulative map + pruned-state archive (reference msckf.h:820-848)
+    cum_map = vio.map()
+    assert cum_map.shape[1] == 3 and len(cum_map) > 0
+    n_map_before_finish = len(cum_map)
+    pruned = vio.pruned_states()
+    assert len(pruned["state_id"]) > 0, "window crossed 20: prunes must archive"
+    assert (np.diff(pruned["state_id"]) >= 0).all()  # sorted like getPrunedStates
+    assert pruned["q_CG"].shape[1] == 4 and pruned["p_C_G"].shape[1] == 3
+    # pruned ids are real past states, disjoint from the live window
+    assert not set(pruned["state_id"].tolist()) & set(cs["state_id"].tolist())
+    # finish() residualizes remaining tracks into the map
+    vio.finish()
+    assert len(vio.map()) >= n_map_before_finish

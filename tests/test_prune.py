@@ -148,3 +148,40 @@ def test_prune_redundant_noop_small_window():
     out = prune.prune_redundant_states(state, CFG)
     assert int(out.window.count) == 10
     np.testing.assert_allclose(np.asarray(out.P), np.asarray(state.P), atol=1e-9)
+
+
+def test_prune_empty_archives_removed_states():
+    """Removed slots land in the per-frame pruned archive with their
+    state_id/time/pose at removal (the pruned_states_ feed, msckf.h:49,:715)."""
+    n = CFG.filter.max_cam_states + 3
+    state = _filled_state(n)
+    state = _add_track(state, 0, 10, list(range(2, n)))
+    out = prune.prune_empty_states(state, CFG)
+    pm = np.asarray(out.pruned_mask)
+    assert pm.sum() == 2  # slots 0,1 removed
+    ids = np.asarray(out.pruned_ids)[pm]
+    np.testing.assert_array_equal(np.sort(ids), [0, 1])
+    # pose at removal == the pre-prune window pose of those slots
+    p = np.asarray(out.pruned_p)[pm]
+    np.testing.assert_allclose(np.sort(p[:, 0]), [0.0, 0.5], atol=1e-12)
+    t = np.asarray(out.pruned_time)[pm]
+    np.testing.assert_allclose(np.sort(t), [0.0, 0.05], atol=1e-12)
+
+
+def test_archive_appends_across_stages():
+    """Two successive archives into the same frame buffer append, not
+    overwrite (both prune stages of one frame share it)."""
+    n = 8
+    state = _filled_state(n)
+    rm1 = np.zeros((N,), bool); rm1[2] = True
+    rm2 = np.zeros((N,), bool); rm2[5] = True
+    s1 = prune._archive_removed(state, jnp.asarray(rm1))
+    s2 = prune._archive_removed(s1, jnp.asarray(rm2))
+    pm = np.asarray(s2.pruned_mask)
+    assert pm.sum() == 2
+    ids = np.asarray(s2.pruned_ids)[pm]
+    np.testing.assert_array_equal(ids, [2, 5])  # append order
+    # clear resets
+    s3 = prune.clear_frame_archive(s2)
+    assert not np.asarray(s3.pruned_mask).any()
+    assert (np.asarray(s3.pruned_ids) == -1).all()

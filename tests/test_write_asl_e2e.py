@@ -85,3 +85,13 @@ def test_run_euroc_cli_end_to_end(written, tmp_path, capsys):
     assert report["ate_rmse"] < 0.5, report
     assert report["final_drift"] < 1.0, report
     assert os.path.exists(out)
+    # --out carries the full reference output surface: trajectory + cumulative
+    # map + pruned-pose archive (msckf.h:820-848, asl_msckf.cpp:337-428)
+    import numpy as np
+
+    dat = np.load(out)
+    assert dat["est"].shape == (25, 3)
+    assert dat["map"].ndim == 2 and dat["map"].shape[1] == 3
+    for k in ("pruned_state_id", "pruned_time", "pruned_q_CG", "pruned_p_C_G"):
+        assert k in dat
+    assert len(dat["map"]) > 0  # 25 frames of a tracked world triangulate
