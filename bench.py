@@ -73,10 +73,15 @@ def main():
 
     # Persistent compilation cache: retries and fallback tiers skip
     # recompiles within a session (cross-session hits depend on the tunnel).
+    # min_compile_time 0.0 (was 1.0): on the tunneled TPU EVERY compile —
+    # even a broadcast_in_dim — pays a ~0.45 s RPC round-trip, and the
+    # round-3 "95 s compile each invocation" was ~120 tiny setup ops below
+    # the old threshold missing the cache every run (measured r4: the big
+    # scanned program was HITTING all along).
     jax.config.update(
         "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
@@ -136,12 +141,25 @@ def main():
         dtype=jnp.float32,
     )
 
-    states = montecarlo.make_fleet(cfg, imu, args.batch, dtype=jnp.float32)
-    batch_frames = montecarlo.broadcast_frames(frames, args.batch)
-
     mesh = sharding.make_mesh()
-    fleet_run = sharding.make_sharded_run(cfg, mesh)
-    states = sharding.shard_batch(states, mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch_sharding = NamedSharding(mesh, P(sharding.FILTER_AXIS))
+
+    # Fleet construction as ONE jitted program (out-sharded over the mesh):
+    # the eager tree_map version dispatched ~30 tiny broadcast ops, each a
+    # ~0.45 s tunnel round-trip (round-4 compile-time postmortem).
+    B = args.batch
+    states = jax.jit(
+        lambda k: montecarlo.make_fleet(cfg, imu, B, key=k, dtype=jnp.float32),
+        out_shardings=batch_sharding,
+    )(jax.random.PRNGKey(0))
+
+    # Frames stay UNBATCHED on device ((T, ...), a few MB); the per-chunk
+    # slice AND the share-across-filters broadcast happen inside the jitted
+    # chunk runner below — one compiled program total, vs. per-chunk eager
+    # slicing (~100 tiny compiles) + a host-side (T, B, ...) broadcast.
+    frames_dev = jax.device_put(frames, NamedSharding(mesh, P()))
 
     if args.chunk > 0:
         chunk = args.chunk
@@ -159,17 +177,33 @@ def main():
     while args.frames % chunk != 0:
         chunk -= 1
     n_chunks = args.frames // chunk
-    chunks = [
-        jax.tree_util.tree_map(lambda x: x[c * chunk : (c + 1) * chunk], batch_frames)
-        for c in range(n_chunks)
-    ]
+
+    run = sharding.batched_run_sequence(cfg)
+
+    @jax.jit
+    def run_chunk(states, frames_full, start):
+        cf = jax.tree_util.tree_map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, start, chunk, 0),
+            frames_full,
+        )
+        bf = jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(
+                jnp.broadcast_to(x[:, None], (chunk, B) + x.shape[1:]),
+                NamedSharding(mesh, P(None, sharding.FILTER_AXIS)),
+            ),
+            cf,
+        )
+        final, outs = run(states, bf)
+        return final, outs.p_I_G[:, 0], sharding.fleet_metrics(final)
 
     def run_all(states):
         outs_list = []
         metrics = None
-        for cf in chunks:
-            states, outs, metrics = fleet_run(states, cf)
-            outs_list.append(outs.p_I_G[:, 0])  # filter-0 trajectory, on device
+        for c in range(n_chunks):
+            states, p0, metrics = run_chunk(
+                states, frames_dev, jnp.asarray(c * chunk, jnp.int32)
+            )
+            outs_list.append(p0)  # filter-0 trajectory, on device
             # Force a real host transfer per chunk: on the tunneled TPU,
             # block_until_ready can return before execution completes, and
             # execution faults only surface at transfer time — a tiny
@@ -181,7 +215,8 @@ def main():
     log(f"compiling... ({n_chunks} chunk(s) of {chunk} frames)")
     t0 = time.perf_counter()
     final, outs_list, metrics = run_all(states)
-    log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
+    compile_plus_first = time.perf_counter() - t0
+    log(f"compile+first run: {compile_plus_first:.1f}s")
 
     times = []
     for _ in range(args.reps):
@@ -214,7 +249,11 @@ def main():
 
         # Mid-sequence batched state + one frame => the same per-stage table
         # the reference publishes as StageTiming (asl_msckf.cpp:207-296).
-        frame1 = jax.tree_util.tree_map(lambda x: x[-1], batch_frames)
+        frame1 = jax.jit(
+            lambda f: jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x[-1], (B,) + x.shape[1:]), f
+            )
+        )(frames_dev)
 
         def get_staged(s, f):
             s = mf.propagate_block(s, f, cfg)
@@ -253,7 +292,7 @@ def main():
                 "vs_baseline": round(rt_equiv, 2),
                 "diagnostics": {
                     "ate_m": round(float(ate), 4),
-                    "compile_plus_first_s": None,
+                    "compile_plus_first_s": round(compile_plus_first, 1),
                     "row_overflow": metrics.get("total_row_overflow"),
                     "staged_overflow": metrics.get("total_staged_overflow"),
                     "residualized": metrics.get("total_residualized"),
@@ -300,15 +339,21 @@ def _run_images(args, cfg):
         v_I_G=[0.0, 5.0 * 0.35, 0.2 * 1.4], b_g=seq.b_g, b_a=seq.b_a,
         dtype=jnp.float32,
     )
-    states = montecarlo.make_fleet(cfg, imu, B, dtype=jnp.float32)
+    states = jax.jit(
+        lambda k: montecarlo.make_fleet(cfg, imu, B, key=k, dtype=jnp.float32)
+    )(jax.random.PRNGKey(0))
     fstate = functional.init_frontend_state(H, W, fcfg)
-    fstates = jax.tree_util.tree_map(lambda x: jnp.stack([x] * B), fstate)
+    fstates = jax.jit(
+        lambda f: jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), f
+        )
+    )(fstate)
 
-    imgs_d = jnp.asarray(imgs, jnp.float32)          # (T, H, W) on device once
-    om = jnp.asarray(seq.imu_omega, jnp.float32)     # (T, K, 3)
-    ac = jnp.asarray(seq.imu_acc, jnp.float32)
-    dt_ = jnp.asarray(seq.imu_dt, jnp.float32)
-    tm = jnp.asarray(seq.time, jnp.float32)
+    imgs_d = jnp.asarray(np.asarray(imgs, np.float32))  # (T, H, W) on device once
+    om = jnp.asarray(np.asarray(seq.imu_omega, np.float32))     # (T, K, 3)
+    ac = jnp.asarray(np.asarray(seq.imu_acc, np.float32))
+    dt_ = jnp.asarray(np.asarray(seq.imu_dt, np.float32))
+    tm = jnp.asarray(np.asarray(seq.time, np.float32))
 
     if args.independent_streams:
         run = pipeline.batched_run_images(cfg, fcfg)
@@ -320,29 +365,32 @@ def _run_images(args, cfg):
         chunk -= 1
     n_chunks = T // chunk
 
+    sid = jnp.arange(1, T + 1, dtype=jnp.int32)
+
     @jax.jit
-    def run_chunk(states, fstates, img_c, om_c, ac_c, dt_c, sid_c, tm_c):
-        Tc = img_c.shape[0]
+    def run_chunk(states, fstates, start):
+        # chunk slicing INSIDE the jitted program (traced start): eager
+        # per-chunk slices each paid the ~0.45 s tunnel compile round-trip
+        def sl(x):
+            return jax.lax.dynamic_slice_in_dim(x, start, chunk, 0)
 
         def b(x):
-            return jnp.broadcast_to(x[:, None], (Tc, B) + x.shape[1:])
+            return jnp.broadcast_to(x[:, None], (chunk, B) + x.shape[1:])
 
+        img_c = sl(imgs_d)
         frames = pipeline.ImageFrameInput(
             image=b(img_c) if args.independent_streams else img_c,
-            imu_omega=b(om_c), imu_acc=b(ac_c), imu_dt=b(dt_c),
-            state_id=b(sid_c), time=b(tm_c),
-            frame_valid=jnp.ones((Tc, B), bool),
+            imu_omega=b(sl(om)), imu_acc=b(sl(ac)), imu_dt=b(sl(dt_)),
+            state_id=b(sl(sid)), time=b(sl(tm)),
+            frame_valid=jnp.ones((chunk, B), bool),
         )
         return run(states, fstates, frames)
-
-    sid = jnp.arange(1, T + 1, dtype=jnp.int32)
 
     def run_all(states, fstates):
         outs_list = []
         for c in range(n_chunks):
-            sl = slice(c * chunk, (c + 1) * chunk)
             states, fstates, outs = run_chunk(
-                states, fstates, imgs_d[sl], om[sl], ac[sl], dt_[sl], sid[sl], tm[sl]
+                states, fstates, jnp.asarray(c * chunk, jnp.int32)
             )
             outs_list.append(outs.p_I_G[:, 0])
             np.asarray(jax.device_get(states.imu.q_IG[:1]))

@@ -284,18 +284,22 @@ def to_frame_inputs(seq: SyntheticSequence, dtype=None):
     from msckf_mono_tpu.core.filter import FrameInput
 
     dtype = dtype or jnp.float32
+    np_dtype = np.dtype(dtype)
     T = seq.time.shape[0]
+    # dtype conversion happens in NUMPY: jnp.asarray(x, dtype) on a
+    # mismatched host array compiles a convert_element_type program — a
+    # ~0.45 s round-trip each on the tunneled TPU (12 of them here).
     return FrameInput(
-        imu_omega=jnp.asarray(seq.imu_omega, dtype),
-        imu_acc=jnp.asarray(seq.imu_acc, dtype),
-        imu_dt=jnp.asarray(seq.imu_dt, dtype),
-        tracked_uv=jnp.asarray(seq.tracked_uv, dtype),
-        tracked_ids=jnp.asarray(seq.tracked_ids, jnp.int32),
-        tracked_valid=jnp.asarray(seq.tracked_valid),
-        new_uv=jnp.asarray(seq.new_uv, dtype),
-        new_ids=jnp.asarray(seq.new_ids, jnp.int32),
-        new_valid=jnp.asarray(seq.new_valid),
-        state_id=jnp.arange(1, T + 1, dtype=jnp.int32),
-        time=jnp.asarray(seq.time, dtype),
-        frame_valid=jnp.ones((T,), bool),
+        imu_omega=jnp.asarray(np.asarray(seq.imu_omega, np_dtype)),
+        imu_acc=jnp.asarray(np.asarray(seq.imu_acc, np_dtype)),
+        imu_dt=jnp.asarray(np.asarray(seq.imu_dt, np_dtype)),
+        tracked_uv=jnp.asarray(np.asarray(seq.tracked_uv, np_dtype)),
+        tracked_ids=jnp.asarray(np.asarray(seq.tracked_ids, np.int32)),
+        tracked_valid=jnp.asarray(np.asarray(seq.tracked_valid, bool)),
+        new_uv=jnp.asarray(np.asarray(seq.new_uv, np_dtype)),
+        new_ids=jnp.asarray(np.asarray(seq.new_ids, np.int32)),
+        new_valid=jnp.asarray(np.asarray(seq.new_valid, bool)),
+        state_id=jnp.asarray(np.arange(1, T + 1, dtype=np.int32)),
+        time=jnp.asarray(np.asarray(seq.time, np_dtype)),
+        frame_valid=jnp.asarray(np.ones((T,), bool)),
     )
