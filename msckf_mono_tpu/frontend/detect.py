@@ -165,12 +165,12 @@ def detect_features(
         nms = nonmax_3x3(fscore, mask)
     st = shi_tomasi_score(img)
 
-    yy = jnp.arange(H)[:, None]
-    xx = jnp.arange(W)[None, :]
-    cell = (yy // grid_h) * n_cols + (xx // grid_w)      # (H, W)
-
-    cand = nms & ~occupied_cells[cell]
-    scores = jnp.where(cand, st, -1.0)
+    # Occupancy masks AFTER the tile reduction (below), not here: occupancy
+    # is per-CELL, so the best corner within a cell is independent of it —
+    # and keeping the (H, W) score map image-only lets XLA hoist the whole
+    # pad+reshape+max reduction out of the filter batch in the shared-camera
+    # pipeline (round-3 trace: this reduction ran per-filter, B times).
+    scores = jnp.where(nms, st, -1.0)
 
     # Best-per-cell as TILE reductions: the grid cells are regular tiles, so
     # pad to a multiple of the cell size, reshape to (n_cells, cell_px) and
@@ -189,6 +189,6 @@ def detect_features(
     cx = jnp.arange(n_cells) % n_cols
     wy = (cy * grid_h + local // grid_w).astype(jnp.float32)
     wx = (cx * grid_w + local % grid_w).astype(jnp.float32)
-    valid = best > detection_threshold
+    valid = (best > detection_threshold) & ~occupied_cells
     xy = jnp.stack([wx, wy], axis=-1)
     return jnp.where(valid[:, None], xy, 0.0), jnp.where(valid, best, 0.0), valid
