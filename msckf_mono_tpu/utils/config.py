@@ -90,7 +90,9 @@ class FilterConfig:
     # Precision of the GATING einsums only (S = HPH^T + sigma^2 I for the
     # chi^2 test). "high" (3-pass bf16, ~1e-6 relative on S) is safe for a
     # threshold test and measurably cheaper; default follows the strict
-    # configuration, the bench/serving config sets "high".
+    # configuration, the bench/serving config sets "high". MEASURED at the
+    # deployed 1024x200 shape (AB_SWEEP.json, round 4): fleet-mean ATE
+    # identical to "highest" to 4 decimals, +0.6% throughput.
     gating_precision: str = "highest"
 
     # Fuse the marginalize and prune-redundant EKF updates into ONE stacked

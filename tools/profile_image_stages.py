@@ -1,0 +1,229 @@
+"""Per-stage device timing of the IMAGE pipeline (shared-camera mode).
+
+Decomposes core/pipeline.step at batch B into isolated jitted stages, each
+iterated inside one lax.scan (host-side per-call timing on the tunneled TPU
+measures mostly the ~0.7 s dispatch floor — see eval/timing.py):
+
+  pyramid   build_pyramid of one shared image (image-only, hoisted 1x)
+  klt       all pyramid levels of Pallas LK for (B, F) points
+  detect    FAST+Shi-Tomasi+tile-reduction (image-only) + per-filter masking
+  undistort tracked+new undistortion, budgeting, grid dedup (per-filter)
+  filter    the full filter frame step (the track-level pipeline)
+
+Usage (serial on the TPU): python tools/profile_image_stages.py [--batch 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from msckf_mono_tpu.core import pipeline
+    from msckf_mono_tpu.core.init import ground_truth_init
+    from msckf_mono_tpu.data import render, synthetic
+    from msckf_mono_tpu.frontend import detect, functional, klt, undistort
+    from msckf_mono_tpu.parallel import montecarlo
+    from msckf_mono_tpu.utils.config import MsckfConfig
+
+    B = args.batch
+    cfg = MsckfConfig()
+    fcfg = functional.FrontendConfig(max_features=64, window_size=21, max_level=3)
+    H, W = cfg.camera.height, cfg.camera.width
+    log(f"device={jax.devices()[0]} batch={B} win={fcfg.window_size} "
+        f"levels={fcfg.max_level + 1}")
+
+    # ---- build a realistic mid-sequence state by running the real pipeline
+    T_warm = 25
+    seq, world = synthetic.generate(
+        cfg, n_frames=T_warm, seed=0, pixel_noise=0.0, n_landmarks=500,
+        return_world=True,
+    )
+    imgs = np.stack([render.render_frame(cfg, world, i) for i in range(T_warm)])
+    imu = ground_truth_init(
+        p_I_G=[5.0, 0.0, 0.0], q_IG=[1, 0, 0, 0],
+        v_I_G=[0.0, 5.0 * 0.35, 0.2 * 1.4], b_g=seq.b_g, b_a=seq.b_a,
+        dtype=jnp.float32,
+    )
+    states = jax.jit(
+        lambda k: montecarlo.make_fleet(cfg, imu, B, key=k, dtype=jnp.float32)
+    )(jax.random.PRNGKey(0))
+    fstate = functional.init_frontend_state(H, W, fcfg)
+    fstates = jax.jit(
+        lambda f: jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), f)
+    )(fstate)
+
+    imgs_d = jnp.asarray(np.asarray(imgs, np.float32))
+    om = jnp.asarray(np.asarray(seq.imu_omega, np.float32))
+    ac = jnp.asarray(np.asarray(seq.imu_acc, np.float32))
+    dt_ = jnp.asarray(np.asarray(seq.imu_dt, np.float32))
+    tm = jnp.asarray(np.asarray(seq.time, np.float32))
+    sid = jnp.arange(1, T_warm + 1, dtype=jnp.int32)
+
+    run = pipeline.batched_run_images_shared(cfg, fcfg)
+
+    @jax.jit
+    def warm(states, fstates):
+        frames = pipeline.ImageFrameInput(
+            image=imgs_d,
+            imu_omega=jnp.broadcast_to(om[:, None], (T_warm, B) + om.shape[1:]),
+            imu_acc=jnp.broadcast_to(ac[:, None], (T_warm, B) + ac.shape[1:]),
+            imu_dt=jnp.broadcast_to(dt_[:, None], (T_warm, B) + dt_.shape[1:]),
+            state_id=jnp.broadcast_to(sid[:, None], (T_warm, B)),
+            time=jnp.broadcast_to(tm[:, None], (T_warm, B)),
+            frame_valid=jnp.ones((T_warm, B), bool),
+        )
+        return run(states, fstates, frames)
+
+    log("warming to a mid-sequence state...")
+    t0 = time.perf_counter()
+    states, fstates, _ = warm(states, fstates)
+    jax.block_until_ready(states.P)
+    np.asarray(jax.device_get(states.imu.q_IG[:1]))
+    log(f"warm done in {time.perf_counter() - t0:.1f}s")
+
+    img_prev = imgs_d[-2]
+    img_cur = imgs_d[-1]
+    dtype = jnp.float32
+
+    # ---- stage fns; each scanned ITERS times on device ----
+    def timed(name, fn, *xs):
+        @jax.jit
+        def loop(*xs):
+            # outputs thread back in as the carry (stage fns return tuples
+            # structured like their inputs) so the scan body can't be hoisted
+            def body(c, _):
+                return fn(*c), None
+
+            c, _ = jax.lax.scan(body, xs, None, length=args.iters)
+            return c
+
+        t0 = time.perf_counter()
+        r = loop(*xs)
+        jax.block_until_ready(r)
+        np.asarray(jax.device_get(jax.tree_util.tree_leaves(r)[0]).ravel()[:1])
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        r = loop(*xs)
+        jax.block_until_ready(r)
+        np.asarray(jax.device_get(jax.tree_util.tree_leaves(r)[0]).ravel()[:1])
+        dt = (time.perf_counter() - t0) / args.iters
+        log(f"  {name:12s} {dt * 1e3:9.2f} ms/frame-batch  (compile {compile_s:.0f}s)")
+        return dt
+
+    results = {}
+
+    # pyramid (shared image — once per frame regardless of B)
+    results["pyramid"] = timed(
+        "pyramid",
+        lambda img: (img + 1e-30 * jnp.sum(klt.build_pyramid(img, fcfg.max_level)[-1]),),
+        img_cur,
+    )
+
+    # KLT all levels (B, F)
+    pyr_prev = klt.build_pyramid(img_prev, fcfg.max_level)
+    pyr_cur = klt.build_pyramid(img_cur, fcfg.max_level)
+    pts = fstates.pts
+    valid = fstates.valid
+
+    def klt_all(pts, valid):
+        p, s = jax.vmap(
+            lambda pp, vv: klt.track_features_pyr(
+                pyr_prev, pyr_cur, pp, pp, vv,
+                window_size=fcfg.window_size, max_iters=fcfg.max_iters,
+            )
+        )(pts, valid)
+        # feed the ORIGINAL pts back (plus an un-DCE-able trace of p) so the
+        # tracked points don't drift out of the image across iterations
+        return pts + 1e-30 * p, valid
+
+    results["klt"] = timed("klt", klt_all, pts, valid)
+
+    # detection (image-only score+reduction, per-filter occupancy mask)
+    occ = jnp.zeros((B, fcfg.n_grid_rows * fcfg.n_grid_cols), bool)
+
+    def det(occ):
+        xy, sc, v = jax.vmap(
+            lambda o: detect.detect_features(
+                img_cur, o, fcfg.n_grid_rows, fcfg.n_grid_cols,
+                fcfg.fast_threshold, fcfg.detection_threshold,
+            )
+        )(occ)
+        return (occ ^ (v[:, : occ.shape[1]] & occ),)  # == occ, un-DCE-able
+
+    results["detect"] = timed("detect", det, occ)
+
+    # undistort both feature sets (per filter)
+    K = jnp.asarray([[cfg.camera.f_u, 0, cfg.camera.c_u],
+                     [0, cfg.camera.f_v, cfg.camera.c_v], [0, 0, 1.0]], dtype)
+
+    def undist(p):
+        u = jax.vmap(lambda x: undistort.undistort_points(
+            x, K, cfg.camera.distortion_coeffs))(p)
+        return (p + u * 1e-30,)
+
+    results["undistort"] = timed("undistort", undist, pts)
+
+    # full fused image step (for the total)
+    def full(states, fstates):
+        frames1 = pipeline.ImageFrameInput(
+            image=img_cur,
+            imu_omega=jnp.broadcast_to(om[-1][None], (B,) + om.shape[1:]),
+            imu_acc=jnp.broadcast_to(ac[-1][None], (B,) + ac.shape[1:]),
+            imu_dt=jnp.broadcast_to(dt_[-1][None], (B,) + dt_.shape[1:]),
+            state_id=jnp.broadcast_to(sid[-1][None], (B,)),
+            time=jnp.broadcast_to(tm[-1][None], (B,)),
+            frame_valid=jnp.ones((B,), bool),
+        )
+        s2, f2 = jax.vmap(
+            lambda s, fs, f: pipeline.step((s, fs), f, cfg, fcfg)[0],
+            in_axes=(0, 0, pipeline.ImageFrameInput(
+                image=None, imu_omega=0, imu_acc=0, imu_dt=0,
+                state_id=0, time=0, frame_valid=0)),
+        )(states, fstates, frames1)
+        return s2, f2
+
+    results["full_step"] = timed("full_step", full, states, fstates)
+
+    total = results["full_step"]
+    log(f"\nfull step {total * 1e3:.2f} ms => {B / total:.0f} img-frame-steps/s "
+        f"at batch {B}")
+    lines = [f"# image-pipeline per-stage device times, batch={B} "
+             f"({time.strftime('%Y-%m-%d %H:%M:%S')})"]
+    for k, v in results.items():
+        lines.append(f"  {k:12s} {v * 1e3:9.2f} ms")
+    if jax.default_backend() == "tpu":
+        with open(os.path.join(REPO, "PROF_IMAGE_STAGES.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        log("wrote PROF_IMAGE_STAGES.txt")
+
+
+if __name__ == "__main__":
+    main()
