@@ -368,20 +368,23 @@ def _run_images(args, cfg):
     sid = jnp.arange(1, T + 1, dtype=jnp.int32)
 
     @jax.jit
-    def run_chunk(states, fstates, start):
+    def run_chunk(states, fstates, imgs_a, om_a, ac_a, dt_a, sid_a, tm_a, start):
         # chunk slicing INSIDE the jitted program (traced start): eager
-        # per-chunk slices each paid the ~0.45 s tunnel compile round-trip
+        # per-chunk slices each paid the ~0.45 s tunnel compile round-trip.
+        # The full arrays are passed as ARGUMENTS — closing over the (T,H,W)
+        # image stack embeds a ~300 MB constant in the program, which the
+        # tunnel's remote-compile endpoint rejects (HTTP 413).
         def sl(x):
             return jax.lax.dynamic_slice_in_dim(x, start, chunk, 0)
 
         def b(x):
             return jnp.broadcast_to(x[:, None], (chunk, B) + x.shape[1:])
 
-        img_c = sl(imgs_d)
+        img_c = sl(imgs_a)
         frames = pipeline.ImageFrameInput(
             image=b(img_c) if args.independent_streams else img_c,
-            imu_omega=b(sl(om)), imu_acc=b(sl(ac)), imu_dt=b(sl(dt_)),
-            state_id=b(sl(sid)), time=b(sl(tm)),
+            imu_omega=b(sl(om_a)), imu_acc=b(sl(ac_a)), imu_dt=b(sl(dt_a)),
+            state_id=b(sl(sid_a)), time=b(sl(tm_a)),
             frame_valid=jnp.ones((chunk, B), bool),
         )
         return run(states, fstates, frames)
@@ -390,7 +393,8 @@ def _run_images(args, cfg):
         outs_list = []
         for c in range(n_chunks):
             states, fstates, outs = run_chunk(
-                states, fstates, jnp.asarray(c * chunk, jnp.int32)
+                states, fstates, imgs_d, om, ac, dt_, sid, tm,
+                jnp.asarray(c * chunk, jnp.int32),
             )
             outs_list.append(outs.p_I_G[:, 0])
             np.asarray(jax.device_get(states.imu.q_IG[:1]))

@@ -92,7 +92,15 @@ def _klt_level_kernel(
         """
         bxf = px - f32(half + 1) + f32(pad)
         byf = py - f32(half + 1) + f32(pad)
-        bx = jnp.clip(jnp.floor(bxf), 0, Wp - LANE - 1).astype(jnp.int32)
+        # The roll is CIRCULAR, so the only constraint is that the USED
+        # window columns (bx+1 .. bx+w+1 of the rotated row) don't wrap —
+        # clip to Wp - w - 3, NOT Wp - LANE - 1: the old LANE-based bound
+        # pinned right-side features at small pyramid levels (Wp == 256,
+        # valid width > 129) to a wrong window base, which seeded level-0
+        # tracking ~4 px off and produced a 2 px endpoint error tail
+        # (measured round 4: level-2 Pallas-vs-jnp max 1.15 px, image
+        # pipeline ATE 1.05 vs 0.25).
+        bx = jnp.clip(jnp.floor(bxf), 0, Wp - (2 * half + 1) - 3).astype(jnp.int32)
         by = jnp.clip(jnp.floor(byf), 0, Hp - ts - 9).astype(jnp.int32)
         fx = jnp.clip(bxf - bx.astype(f32), 0.0, 1.0)
         fy = jnp.clip(byf - by.astype(f32), 0.0, 1.0)
