@@ -50,6 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
+PACK = 4  # features per grid program (see _track_level_batched)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -232,8 +233,13 @@ def _track_level_batched(
         )
 
     # Feature packing: amortize per-grid-program overhead (see kernel
-    # docstring). 4 features/program unless F doesn't divide.
-    pack = 4
+    # docstring). PACK features/program unless F doesn't divide; the shared
+    # while_loop couples packed features' convergence (slowest-of-pack), so
+    # bigger packs trade fewer programs for more masked iterations —
+    # measured on TPU v5e (tools/microbench_klt_pack.py, 4-level track of
+    # (256, 64) points on rendered frames): pack 2 = 117 ms, 4 = 110 ms,
+    # 8 = 116 ms, 16 = 151 ms — 4 is the optimum.
+    pack = PACK
     while F % pack:
         pack -= 1
 

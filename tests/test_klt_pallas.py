@@ -122,3 +122,30 @@ def test_full_pyramid_matches_jnp():
     np.testing.assert_allclose(np.asarray(out_pts), np.asarray(ref_pts), atol=0.1)
     got = np.asarray(out_pts)[np.asarray(out_ok)] - pts[np.asarray(out_ok)]
     np.testing.assert_allclose(got, np.tile([-3.3, 2.6], (got.shape[0], 1)), atol=0.3)
+
+
+def test_level_right_side_features_small_level():
+    """Regression (round 4): the kernel clipped the window base to
+    Wp - LANE - 1, which pins features with x + pad >= 128 to a wrong window
+    at levels where the padded width is the 256 floor (e.g. pyramid level 2
+    of 480x752) — tracked endpoints came out ~1-2 px off and dragged the
+    image-pipeline ATE from 0.25 to 1.05 m. The roll is circular; the real
+    bound is Wp - w - 3."""
+    rng = np.random.default_rng(5)
+    img0 = _smooth_image(rng, (120, 188))  # level-2-like: Wp floors at 256
+    img1 = _shift_image(img0, 1.3, 0.8)
+    xs = np.array([40.0, 120.0, 132.0, 150.0, 165.0, 174.0])
+    ys = np.array([30.0, 55.0, 80.0, 95.0, 60.0, 40.0])
+    pts = jnp.asarray(np.stack([xs, ys], -1), jnp.float32)
+    valid = jnp.ones((len(xs),), bool)
+
+    pj, gj = klt._track_level(
+        jnp.asarray(img0), jnp.asarray(img1), pts, pts, valid, 10, 30, 1.0, 1e-5
+    )
+    pp, gp = klt_pallas.track_level(
+        jnp.asarray(img0), jnp.asarray(img1), pts, pts, valid,
+        window_size=21, max_iters=30, eps=1.0, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(gj), np.asarray(gp))
+    d = np.linalg.norm(np.asarray(pp) - np.asarray(pj), axis=1)
+    assert d.max() < 0.05, d
