@@ -68,25 +68,60 @@ def main():
         )
     B = args.batch
 
-    # Load the saved warm state + frame and broadcast to the batch.
-    tdp = args.state.replace("_b8.npz", "_treedef.pkl")
-    with open(tdp, "rb") as f:
-        td = pickle.load(f)
-    z = np.load(args.state)
-    leaves = [
-        jnp.asarray(np.broadcast_to(z[k][0:1], (B,) + z[k].shape[1:]).copy())
-        for k in z.files
-    ]
-    state = jax.tree_util.tree_unflatten(td, leaves)
-    fz = np.load(args.state.replace("state", "frame"))
-    with open(args.state.replace("state_b8.npz", "frame_treedef.pkl"), "rb") as f:
-        ftd = pickle.load(f)
-    fleaves = [
-        jnp.asarray(np.broadcast_to(fz[k][0:1], (B,) + fz[k].shape[1:]).copy())
-        for k in fz.files
-    ]
-    frame = jax.tree_util.tree_unflatten(ftd, fleaves)
-    log(f"state loaded, batch={B}")
+    # Load the saved warm state + frame and broadcast to the batch; if the
+    # snapshot is missing or its treedef predates the current FilterState
+    # (e.g. new fields), regenerate inline by running the real pipeline.
+    state = frame = None
+    try:
+        tdp = args.state.replace("_b8.npz", "_treedef.pkl")
+        with open(tdp, "rb") as f:
+            td = pickle.load(f)
+        z = np.load(args.state)
+        leaves = [
+            jnp.asarray(np.broadcast_to(z[k][0:1], (B,) + z[k].shape[1:]).copy())
+            for k in z.files
+        ]
+        state = jax.tree_util.tree_unflatten(td, leaves)
+        fz = np.load(args.state.replace("state", "frame"))
+        with open(args.state.replace("state_b8.npz", "frame_treedef.pkl"), "rb") as f:
+            ftd = pickle.load(f)
+        fleaves = [
+            jnp.asarray(np.broadcast_to(fz[k][0:1], (B,) + fz[k].shape[1:]).copy())
+            for k in fz.files
+        ]
+        frame = jax.tree_util.tree_unflatten(ftd, fleaves)
+        log(f"state loaded, batch={B}")
+    except Exception as e:  # noqa: BLE001
+        log(f"snapshot unusable ({type(e).__name__}: {e}); regenerating warm state")
+        from msckf_mono_tpu.core.init import ground_truth_init
+        from msckf_mono_tpu.core.types import init_filter_state
+        from msckf_mono_tpu.data import synthetic
+
+        T_warm = 30
+        seq = synthetic.generate(cfg, n_frames=T_warm + 1, seed=0, pixel_noise=0.5)
+        frames_all = synthetic.to_frame_inputs(seq, jnp.float32)
+        imu = ground_truth_init(
+            p_I_G=[5.0, 0.0, 0.0], q_IG=[1, 0, 0, 0],
+            v_I_G=[0.0, 5.0 * 0.35, 0.28], b_g=seq.b_g, b_a=seq.b_a,
+            dtype=jnp.float32,
+        )
+
+        @jax.jit
+        def gen():
+            s0 = init_filter_state(cfg, imu, dtype=jnp.float32)
+            warm = jax.tree_util.tree_map(lambda x: x[:T_warm], frames_all)
+            s, _ = mf.run_sequence(s0, warm, cfg)
+            last = jax.tree_util.tree_map(lambda x: x[T_warm], frames_all)
+            bs = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (B,) + x.shape), s)
+            bf = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (B,) + x.shape), last)
+            return bs, bf
+
+        state, frame = gen()
+        jax.block_until_ready(state.P)
+        np.asarray(jax.device_get(state.imu.q_IG[:1]))
+        log(f"warm state generated, batch={B}")
 
     def run(s, f):
         def body(c, _):
