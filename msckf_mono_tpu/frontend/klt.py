@@ -184,6 +184,14 @@ def track_features_pyr(
     """
     half = window_size // 2
     max_level = len(pyr_prev) - 1
+    # cv2 semantics: buildOpticalFlowPyramid stops before levels smaller
+    # than the tracking window, so calcOpticalFlowPyrLK with win 51 on
+    # 480x752 effectively runs 4 levels even when maxLevel=4 asks for 5.
+    # Without this clamp a 51-px window on a 30-px top level spans the whole
+    # edge-padded image — garbage gradients that seed level-0 tracking off
+    # (measured round 4: image-pipeline ATE 1.20 at win51/5lv, 0.25 at 4lv).
+    while max_level > 0 and min(pyr_prev[max_level].shape) < window_size + 2:
+        max_level -= 1
     if use_pallas is None:
         use_pallas = _use_pallas_default()
     if use_pallas:
