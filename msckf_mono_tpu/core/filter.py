@@ -124,7 +124,7 @@ def _fused_vision_update(state: FilterState, staged, config: MsckfConfig) -> Fil
     FilterConfig.fused_updates for the (second-order) semantic deviation.
     """
     dtype = state.P.dtype
-    sigma2 = jnp.asarray(config.u_var_prime, dtype)
+    sigma2 = state.meas_sigma2.astype(dtype)  # per-filter noise (grid fleets)
     window = state.window
     g = state.imu.g
     S_m = config.shapes.max_staged

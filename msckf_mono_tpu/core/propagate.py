@@ -195,7 +195,7 @@ def propagate_block(state: FilterState, omegas, accs, dts, config: MsckfConfig) 
     S0 = S[0]
 
     # 4) one composed covariance update
-    Q = jnp.diag(jnp.asarray(config.q_imu_diag(), dtype))
+    Q = jnp.diag(state.q_imu_diag.astype(dtype))  # per-filter noise (grid fleets)
     G = jax.vmap(lambda i: calc_G(i, dtype))(imu_pre)                 # (K,15,12)
     SG = jnp.einsum("kab,kbc->kac", S, G)                             # (K,15,12)
     noise = jnp.einsum("k,kac,cd,kbd->ab", dts, SG, Q, SG)
@@ -227,7 +227,7 @@ def propagate(state: FilterState, omega, a, dt, config: MsckfConfig) -> FilterSt
     imu_prop = propagate_imu_state(imu, omega, a, dt)
     Phi = compute_phi(imu, imu_prop, F, dt)
 
-    Q = jnp.diag(jnp.asarray(config.q_imu_diag(), dtype))
+    Q = jnp.diag(state.q_imu_diag.astype(dtype))  # per-filter noise (grid fleets)
     P = state.P
     P00 = P[0:15, 0:15]
     P00_prop = Phi @ (P00 + G @ Q @ G.T * dt) @ Phi.T

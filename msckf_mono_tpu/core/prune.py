@@ -266,7 +266,7 @@ def prune_post(state: FilterState, prep, gate_ok, n_rows_dropped,
 
 def prune_redundant_states(state: FilterState, config: MsckfConfig) -> FilterState:
     dtype = state.P.dtype
-    sigma2 = jnp.asarray(config.u_var_prime, dtype)
+    sigma2 = state.meas_sigma2.astype(dtype)  # per-filter noise (grid fleets)
     window = state.window
     g = state.imu.g
 

@@ -111,6 +111,12 @@ class FilterState:
     window: CamWindow
     tracks: TrackTable
     P: jnp.ndarray             # (15+6N, 15+6N) error-state covariance
+    # Noise parameters as STATE (not static config): under vmap each filter
+    # carries its own values, which is what parameter-grid fleets (BASELINE
+    # config 5: filters x noise grid) need. init_filter_state seeds them
+    # from the config; montecarlo.make_grid_fleet spreads them.
+    q_imu_diag: jnp.ndarray    # (12,) continuous-time IMU noise diag (Q_imu)
+    meas_sigma2: jnp.ndarray   # () isotropic measurement noise u_var'
     num_residualized: jnp.ndarray  # int32; guards checkMotion (msckf.h:354)
     map_pts: jnp.ndarray       # (S, 3) last frame's triangulated points (msckf.h:50)
     map_mask: jnp.ndarray      # (S,) bool
@@ -186,6 +192,8 @@ def init_filter_state(config: MsckfConfig, imu: ImuState | None = None, dtype=jn
     T_tri = config.shapes.max_tri_prune
     return FilterState(
         imu=imu, window=window, tracks=tracks, P=P,
+        q_imu_diag=jnp.asarray(config.q_imu_diag(), dtype),
+        meas_sigma2=jnp.asarray(config.u_var_prime, dtype),
         num_residualized=zero,
         map_pts=jnp.zeros((S, 3), dtype), map_mask=jnp.zeros((S,), bool),
         tri_map_pts=jnp.zeros((T_tri, 3), dtype),

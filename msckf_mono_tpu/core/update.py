@@ -502,7 +502,7 @@ def marginalize(state: FilterState, staged: StagedTracks, config: MsckfConfig) -
     Mahalanobis gate -> global row stack -> one joint EKF update.
     """
     dtype = state.P.dtype
-    sigma2 = jnp.asarray(config.u_var_prime, dtype)
+    sigma2 = state.meas_sigma2.astype(dtype)  # per-filter noise (grid fleets)
     window = state.window
     g = state.imu.g
 

@@ -71,3 +71,34 @@ def broadcast_frames(frames, n: int):
         lambda x: jnp.broadcast_to(x[:, None, ...], (x.shape[0], n) + x.shape[1:]),
         frames,
     )
+
+
+def make_grid_fleet(
+    config: MsckfConfig,
+    imu: ImuState,
+    n: int,
+    key=None,
+    dtype=jnp.float32,
+    q_imu_scale=None,
+    meas_sigma_px=None,
+    **sigmas,
+):
+    """Fleet spanning a NOISE-PARAMETER grid (BASELINE config 5: filters x
+    calib/noise grid) on top of the Monte-Carlo init perturbations.
+
+    Noise parameters live in the STATE (FilterState.q_imu_diag /
+    .meas_sigma2), so each filter in the vmapped batch integrates and updates
+    with its own values — a parameter sweep runs as ONE compiled program.
+
+    q_imu_scale: (n,) multiplies the config's Q_imu diagonal per filter.
+    meas_sigma_px: (n,) per-filter feature-noise sigma in PIXELS (converted
+    via the config's (px / f_u)^2 derivation, ros_interface.cpp:313-314).
+    """
+    fleet = make_fleet(config, imu, n, key=key, dtype=dtype, **sigmas)
+    if q_imu_scale is not None:
+        scale = jnp.asarray(q_imu_scale, dtype)[:, None]
+        fleet = fleet.replace(q_imu_diag=fleet.q_imu_diag * scale)
+    if meas_sigma_px is not None:
+        s2 = (jnp.asarray(meas_sigma_px, dtype) / config.camera.f_u) ** 2
+        fleet = fleet.replace(meas_sigma2=s2)
+    return fleet

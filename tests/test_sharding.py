@@ -153,3 +153,44 @@ def test_scaling_efficiency_curve(fleet):
     # The committed SCALING_VIRTUAL.json artifact is emitted by
     # tools/scaling_virtual.py (ADVICE r3: tests must not mutate committed
     # artifacts with machine-dependent timings).
+
+
+def test_grid_fleet_per_filter_noise(fleet):
+    """Noise parameters are STATE: a fleet spanning a Q_imu/measurement-noise
+    grid runs as one program and each filter's covariance evolves under its
+    own parameters (BASELINE config 5 semantics)."""
+    states, bframes = fleet
+    import jax.numpy as jnp
+    from msckf_mono_tpu.core.init import ground_truth_init
+    from msckf_mono_tpu.data import synthetic
+
+    seq = synthetic.generate(CFG, n_frames=FRAMES, seed=0, pixel_noise=0.5)
+    imu = ground_truth_init(
+        p_I_G=[5.0, 0.0, 0.0], q_IG=[1, 0, 0, 0],
+        v_I_G=[0.0, 5.0 * 0.35, 0.28], b_g=seq.b_g, b_a=seq.b_a,
+        dtype=jnp.float32,
+    )
+    n = 4
+    grid = montecarlo.make_grid_fleet(
+        CFG, imu, n,
+        q_imu_scale=jnp.asarray([0.25, 1.0, 4.0, 16.0]),
+        meas_sigma_px=jnp.asarray([1.0, 2.0, 2.0, 4.0]),
+        sigma_v=0.0, sigma_theta=0.0, sigma_bg=0.0, sigma_ba=0.0,
+    )
+    frames = synthetic.to_frame_inputs(seq, jnp.float32)
+    bframes_n = montecarlo.broadcast_frames(frames, n)
+    run1 = jax.jit(sharding.batched_run_sequence(CFG))
+    final, outs = run1(grid, bframes_n)
+
+    # covariance grows monotonically with the IMU noise scale
+    tr = np.asarray(
+        jnp.trace(final.P[:, 12:15, 12:15], axis1=-2, axis2=-1)
+    )
+    assert np.all(np.isfinite(tr))
+    assert tr[0] < tr[2] < tr[3], tr
+    # per-filter meas_sigma2 carried through
+    s2 = np.asarray(final.meas_sigma2)
+    np.testing.assert_allclose(
+        s2, ((np.array([1.0, 2.0, 2.0, 4.0]) / CFG.camera.f_u) ** 2),
+        rtol=1e-6,
+    )
