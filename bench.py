@@ -115,7 +115,10 @@ def main():
     # (see update.gated_row_stack); keep that product ~8k so batch 1024 fits
     # in v5e HBM while small batches keep the low sequential depth of the
     # unchunked path. Computed from the post-snap batch (ADVICE r2).
-    chunk_s = max(8, 8192 // max(args.batch, 1))
+    # floor 2 (was 8): at batch >= 8192 the (B, C, 2N-3, D) row-pipeline
+    # temps are the HBM ceiling (measured OOM at 17.2/15.75 G with C=8);
+    # C=2 fits 8k+ fleets, and batches <= 1024 keep C=8 as before.
+    chunk_s = max(2, 8192 // max(args.batch, 1))
     # max_staged=8 here: the bench's synthetic world has MEASURED per-frame
     # track deaths of mean 0.9 / max 4 (the library default keeps 16 for
     # real data's burst behavior); diag.staged_overflow in the JSON would
