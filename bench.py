@@ -123,9 +123,14 @@ def main():
     # track deaths of mean 0.9 / max 4 (the library default keeps 16 for
     # real data's burst behavior); diag.staged_overflow in the JSON would
     # expose any violation.
+    # Obs-width caps from measured distributions (tools/measure_row_stats.py
+    # at 256x200: prune-candidate involved obs == 2 at p99.9, marginalized
+    # obs <= 21): prune rows 53 -> 9, marg rows 53 -> 41 per staged track.
+    # diag.row_overflow counts any rows the caps cost.
     cfg = dataclasses.replace(
         cfg, shapes=dataclasses.replace(cfg.shapes, staged_chunk=chunk_s,
-                                        max_staged=8)
+                                        max_staged=8, prune_obs_cap=6,
+                                        marg_obs_cap=22)
     )
     log(f"device: {dev}, batch={args.batch}, frames={args.frames}")
 

@@ -119,38 +119,42 @@ def _fused_vision_update(state: FilterState, staged, config: MsckfConfig) -> Fil
 
     The staged dead tracks (msckf.h:336-449) and the prune candidates'
     one-last-updates (msckf.h:453-682) share the projected-row machinery;
-    concatenating their staged axes runs one gate batch, one row stack and
-    one measurement update per frame instead of two of each. See
-    FilterConfig.fused_updates for the (second-order) semantic deviation.
+    chaining both sets through one shared row buffer (``carry``) runs one
+    gate batch, one row stack and one measurement update per frame instead
+    of two of each — and lets each set use its own observation-width cap
+    (prune candidates carry ~2 involved obs vs marginalized tracks' ~20,
+    tools/measure_row_stats.py). See FilterConfig.fused_updates for the
+    (second-order) semantic deviation.
     """
     dtype = state.P.dtype
     sigma2 = state.meas_sigma2.astype(dtype)  # per-filter noise (grid fleets)
     window = state.window
     g = state.imu.g
-    S_m = config.shapes.max_staged
+    shp = config.shapes
 
     p_f, track_ok, motion_ok, tri_ok = update.marginalize_prep(state, staged, config)
     prep = prune.prune_prep(state, config)
 
-    obs = jnp.concatenate([staged.obs, prep["c_obs"]])
-    masks = jnp.concatenate([staged.obs_mask, prep["c_mask_inv"]])
-    p_all = jnp.concatenate([p_f, prep["p_use"]])
-    ok_all = jnp.concatenate([track_ok, prep["use_track"]])
-
-    out = update.gated_row_stack(
-        obs, masks, p_all, ok_all, window, g, state.P, sigma2, config
+    gate_m, present_m, carry = update.gated_row_stack(
+        staged.obs, staged.obs_mask, p_f, track_ok, window, g, state.P,
+        sigma2, config, m_cap=shp.marg_obs_cap or None, return_carry=True,
     )
-    H, r, gate_ok, rows_present, n_dropped = out[:5]
+    out = update.gated_row_stack(
+        prep["c_obs"], prep["c_mask_inv"], prep["p_use"], prep["use_track"],
+        window, g, state.P, sigma2, config,
+        m_cap=shp.prune_obs_cap or None, carry=carry,
+    )
+    H, r, gate_p, present_p, n_dropped = out[:5]
     V, tids = (out[5], out[6]) if config.filter.use_anisotropic_r else (None, None)
     state = update.measurement_update(state, H, r, sigma2, config, V=V, v_track_ids=tids)
 
     state = update.marginalize_post(
         state, staged, p_f, track_ok, motion_ok, tri_ok,
-        gate_ok[:S_m], rows_present[:S_m], n_dropped, config,
+        gate_m, present_m, n_dropped, config,
     )
     # row_overflow already counted once in marginalize_post.
     zero = n_dropped * 0
-    return prune.prune_post(state, prep, gate_ok[S_m:], zero, config)
+    return prune.prune_post(state, prep, gate_p, zero, config)
 
 
 def run_sequence(state: FilterState, frames: FrameInput, config: MsckfConfig):

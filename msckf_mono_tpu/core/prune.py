@@ -178,7 +178,8 @@ def prune_prep(state: FilterState, config: MsckfConfig):
     )(t_obs, t_mask)
     p_new_t, tri_ok_t = jax.vmap(
         lambda o, om: triangulate.initialize_position(
-            o, om, window.q_CG, window.p_C_G, config.max_gn_cost_norm
+            o, om, window.q_CG, window.p_C_G, config.max_gn_cost_norm,
+            n_iters=fcfg.lm_iters, n_trials=fcfg.lm_trials,
         )
     )(t_obs, t_mask)
     ok_t = t_valid & motion_ok_t & tri_ok_t & jnp.all(jnp.isfinite(p_new_t), axis=-1)
@@ -276,7 +277,8 @@ def prune_redundant_states(state: FilterState, config: MsckfConfig) -> FilterSta
     # candidate axis — see update.gated_row_stack for the memory rationale).
     out = gated_row_stack(
         prep["c_obs"], prep["c_mask_inv"], prep["p_use"], prep["use_track"],
-        window, g, state.P, sigma2, config
+        window, g, state.P, sigma2, config,
+        m_cap=config.shapes.prune_obs_cap or None,
     )
     H, r, gate_ok, _rows_present, n_rows_dropped = out[:5]
     V, tids = (out[5], out[6]) if config.filter.use_anisotropic_r else (None, None)

@@ -141,11 +141,21 @@ def _accumulate_normal_eqs(A, t, obs, obs_mask, x):
     return JtJ, Jtr
 
 
-def initialize_position(obs, obs_mask, q_CG, p_C_G, max_gn_cost_norm):
+def initialize_position(obs, obs_mask, q_CG, p_C_G, max_gn_cost_norm,
+                        n_iters: int = 11, n_trials: int = 11):
     """LM triangulation. Returns (p_f_G (3,), is_valid bool).
 
     Reference msckf.h:1147-1285 with the same constants: damping 1e-3, lambda
     in [1e-10, 1e12], 10x10 iteration caps, precision 5e-7.
+
+    ``n_iters``/``n_trials`` shrink the outer-iteration / lambda-trial
+    schedule for serving configs (defaults = the reference's full schedule).
+    A truncated trial sweep that finds no cost reduction behaves exactly like
+    the reference's full failed sweep (solution unchanged, lambda escalated
+    from the last executed trial); a truncated outer loop stops refining
+    early. Both only matter for tracks that hadn't converged — measured
+    convergence on the bench world is 2-4 outer iterations with trial 0-1
+    accepted (the serving values are A/B'd by the bench's accuracy gate).
     """
     dtype = obs.dtype
     A, t, A0, t0 = _relative_poses(obs_mask, q_CG, p_C_G)
@@ -170,25 +180,26 @@ def initialize_position(obs, obs_mask, q_CG, p_C_G, max_gn_cost_norm):
         # sequential solve/cost rounds. Identical accept/lambda semantics,
         # ~10× less sequential depth (this runs per-track per-frame inside
         # the scanned step: the hottest loop in the filter).
-        ks = jnp.arange(11)
-        lams = jnp.minimum(lam * (10.0 ** ks.astype(dtype)), 1e12)       # (11,)
-        dampers = lams[:, None, None] * jnp.eye(3, dtype=dtype)          # (11,3,3)
-        deltas = solve3x3(JtJ[None] + dampers, Jtr[None])                # (11,3)
-        cands = solution[None, :] - deltas                               # (11,3)
+        ks = jnp.arange(n_trials)
+        lams = jnp.minimum(lam * (10.0 ** ks.astype(dtype)), 1e12)       # (K,)
+        dampers = lams[:, None, None] * jnp.eye(3, dtype=dtype)          # (K,3,3)
+        deltas = solve3x3(JtJ[None] + dampers, Jtr[None])                # (K,3)
+        cands = solution[None, :] - deltas                               # (K,3)
         costs = _total_cost_multi(A, t, obs, obs_mask, cands)
-        reduces = costs < total_cost                                      # (11,)
+        reduces = costs < total_cost                                      # (K,)
         any_red = jnp.any(reduces)
         first = jnp.argmax(reduces)                                       # first accepted trial
-        # If no trial reduces the cost, the do-while runs all 11 iterations
-        # and leaves solution/cost unchanged; lam ends at trial-10's clamp
-        # ×10 (clamped), and delta_norm is that of the LAST executed trial.
-        kacc = jnp.where(any_red, first, 10)
+        # If no trial reduces the cost, the do-while runs all K iterations
+        # and leaves solution/cost unchanged; lam ends at the last trial's
+        # clamp ×10 (clamped), and delta_norm is that of the LAST executed
+        # trial.
+        kacc = jnp.where(any_red, first, n_trials - 1)
         solution_n = jnp.where(any_red, cands[kacc], solution)
         cost_n = jnp.where(any_red, costs[kacc], total_cost)
         lam_n = jnp.where(
             any_red,
             jnp.maximum(lams[kacc] / 10.0, 1e-10),
-            jnp.minimum(lams[10] * 10.0, 1e12),
+            jnp.minimum(lams[n_trials - 1] * 10.0, 1e12),
         )
         delta_norm = jnp.linalg.norm(deltas[kacc])
 
@@ -203,7 +214,7 @@ def initialize_position(obs, obs_mask, q_CG, p_C_G, max_gn_cost_norm):
     lam0 = jnp.full_like(total_cost, 1e-3)
     done0 = total_cost < 0.0  # always False: cost is a sum of squares
     solution, total_cost, _, _ = jax.lax.fori_loop(
-        0, 11, outer_body, (solution, total_cost, lam0, done0)
+        0, n_iters, outer_body, (solution, total_cost, lam0, done0)
     )
 
     final_position = jnp.array(

@@ -38,14 +38,25 @@ from msckf_mono_tpu.utils.chi2 import chi2_gate_table
 from msckf_mono_tpu.utils.config import MsckfConfig
 
 
-def track_projected_rows(obs, obs_mask, p_f_G, window, g, config: MsckfConfig):
+def track_projected_rows(obs, obs_mask, p_f_G, window, g, config: MsckfConfig,
+                         m_cap: int | None = None):
     """Nullspace-projected measurement rows for ONE track.
 
-    Returns (H_o ((2N-3), D), r_o (2N-3,), rows_valid (2N-3,), V).
+    Returns (H_o ((2M-3), D), r_o (2M-3,), rows_valid (2M-3,), V) with
+    M = min(m_cap, N) (M = N when ``m_cap`` is None — the exact path).
     Mirrors msckf.h:905-978 including the per-observation observability
     constraint A - A·u(uᵀu)⁻¹uᵀ.
 
-    V is None unless ``filter.use_anisotropic_r``: then it is the ((2N-3), N)
+    ``m_cap`` bounds the number of observations carried into the row math:
+    the valid-first sort means a track with m <= m_cap observations is EXACT
+    (identical rows to the uncapped path); beyond that the newest-slot
+    observations are dropped (callers count the lost rows in row_overflow).
+    Measured rationale (tools/measure_row_stats.py, bench world 256x200):
+    prune-path candidates have exactly 2 involved observations (1 row) at
+    p99.9, yet paid the full (2N-3)=53-row buffer — the single largest block
+    of the round-4 frame step (VERDICT r4 next-1).
+
+    V is None unless ``filter.use_anisotropic_r``: then it is the ((2M-3), M)
     projection of the v-row indicator columns, giving the track's exact
     projected noise R_o = A_jᵀ diag(u_var', v_var') A_j (msckf.h:411-431) as
     σu²·I + (σv²-σu²)·V Vᵀ (the projection rows are orthonormal; reflector
@@ -54,6 +65,7 @@ def track_projected_rows(obs, obs_mask, p_f_G, window, g, config: MsckfConfig):
     """
     dtype = obs.dtype
     N = obs_mask.shape[0]
+    M = N if m_cap is None else max(2, min(int(m_cap), N))
     D = config.shapes.state_dim
 
     # Refine validity BEFORE sorting: observations with near-zero depth produce
@@ -65,15 +77,15 @@ def track_projected_rows(obs, obs_mask, p_f_G, window, g, config: MsckfConfig):
     depth_all = bmv(quat.to_rotmat(window.q_CG), p_f_G[None, :] - window.p_C_G)[:, 2]
     eff_mask = obs_mask & (depth_all > 1e-2)
 
-    order = jnp.argsort(jnp.logical_not(eff_mask), stable=True)
-    m = jnp.sum(eff_mask)
-    valid = jnp.arange(N) < m
+    order = jnp.argsort(jnp.logical_not(eff_mask), stable=True)[:M]
+    m = jnp.minimum(jnp.sum(eff_mask), M)
+    valid = jnp.arange(M) < m
 
     # Sorted gathers as one-hot matmuls: per-track fancy-index gathers with
     # batched indices lower to per-element loops on TPU (round-3 trace: ~10%
     # of the frame step across q/p/z); the same one-hot also places the
     # 6-wide H blocks below. One-hot selection is exact at HIGHEST precision.
-    onehot = (order[:, None] == jnp.arange(N)[None, :]).astype(dtype)  # (N,N)
+    onehot = (order[:, None] == jnp.arange(N)[None, :]).astype(dtype)  # (M,N)
 
     def sel(x):  # broadcast-sum one-hot selection: exact, fuses as VPU work
         return jnp.sum(onehot[:, :, None] * x[None, :, :], axis=1)
@@ -121,9 +133,9 @@ def track_projected_rows(obs, obs_mask, p_f_G, window, g, config: MsckfConfig):
     # diagonal (sorted obs n targets original slot order[n]), so a one-hot
     # broadcast-multiply materializes it as pure VPU work — a fancy-index
     # scatter here lowers to a slow TPU scatter op (measured in round 2).
-    H_cam = (H_x6[:, :, None, :] * onehot[:, None, :, None]).reshape(2 * N, 6 * N)
-    H_f_rows = H_f.reshape(2 * N, 3)
-    r_rows = r.reshape(2 * N)
+    H_cam = (H_x6[:, :, None, :] * onehot[:, None, :, None]).reshape(2 * M, 6 * N)
+    H_f_rows = H_f.reshape(2 * M, 3)
+    r_rows = r.reshape(2 * M)
 
     # Left-nullspace projection via three explicit Householder reflectors on
     # [H_cam | r] (replaces full-U SVD, msckf.h:954-957 — any orthonormal
@@ -135,16 +147,16 @@ def track_projected_rows(obs, obs_mask, p_f_G, window, g, config: MsckfConfig):
     if config.filter.use_anisotropic_r:
         # v-row indicator columns I_odd (row 2i+1 marks obs i's v residual)
         cols.append(
-            (jnp.arange(2 * N)[:, None] == 2 * jnp.arange(N)[None, :] + 1).astype(dtype)
+            (jnp.arange(2 * M)[:, None] == 2 * jnp.arange(M)[None, :] + 1).astype(dtype)
         )
-    Xr = jnp.concatenate(cols, axis=1)                    # (2N, 6N+1[+N])
-    proj = null_project_3(H_f_rows, Xr)                   # (2N-3, 6N+1[+N])
+    Xr = jnp.concatenate(cols, axis=1)                    # (2M, 6N+1[+M])
+    proj = null_project_3(H_f_rows, Xr)                   # (2M-3, 6N+1[+M])
     H_o = jnp.concatenate(
-        [jnp.zeros((2 * N - 3, 15), dtype), proj[:, : 6 * N]], axis=1
+        [jnp.zeros((2 * M - 3, 15), dtype), proj[:, : 6 * N]], axis=1
     )
     r_o = proj[:, 6 * N]
 
-    rows_valid = jnp.arange(2 * N - 3) < jnp.maximum(2 * m - 3, 0)
+    rows_valid = jnp.arange(2 * M - 3) < jnp.maximum(2 * m - 3, 0)
     H_o = H_o * rows_valid[:, None]
     r_o = r_o * rows_valid
     V = None
@@ -208,7 +220,8 @@ def gating_test_all(H_all, r_all, P, dof, sigma2, config: MsckfConfig):
 
 
 def gated_row_stack(obs, obs_mask, p_f, track_ok, window, g, P, sigma2,
-                    config: MsckfConfig):
+                    config: MsckfConfig, m_cap: int | None = None,
+                    carry=None, return_carry: bool = False):
     """Chunked projected-rows + gating + row compaction for S staged tracks.
 
     Processes the staged-track axis in chunks of ``shapes.staged_chunk``
@@ -233,9 +246,20 @@ def gated_row_stack(obs, obs_mask, p_f, track_ok, window, g, P, sigma2,
     one valid row (its gate passed AND it produced non-masked projected rows —
     a track whose observations all fail the depth guard yields zero rows even
     with a trivially-passing gate).
+
+    ``m_cap`` bounds the per-track observation width of the row math (see
+    :func:`track_projected_rows`) — rows shrink from 2N-3 to 2M-3; rows lost
+    to the cap on contributing tracks are added to ``n_dropped``. ``carry``
+    chains a second staged set into the SAME row buffer (the fused
+    marginalize+prune update passes marginalize's carry here so both sets
+    share one EKF update); pass ``return_carry=True`` to get
+    (gate_ok, rows_present, carry) instead of the finalized stack. The
+    buffer layout is cap-independent (aniso V columns are padded to N), so
+    differently-capped calls chain safely.
     """
     S, N, _ = obs.shape
-    R = 2 * N - 3
+    M = N if m_cap is None else max(2, min(int(m_cap), N))
+    R = 2 * M - 3
     D = config.shapes.state_dim
     R_MAX = config.shapes.max_update_rows
     aniso = config.filter.use_anisotropic_r
@@ -246,7 +270,16 @@ def gated_row_stack(obs, obs_mask, p_f, track_ok, window, g, P, sigma2,
     n_chunks = S // C
     dtype = obs.dtype
 
-    dof = jnp.sum(obs_mask, axis=1).astype(jnp.int32) - 1
+    # Gate dof follows the rows actually available: min(m, M) - 1 == the
+    # uncapped reference dof whenever the cap is inactive (msckf.h:1117).
+    dof = jnp.minimum(jnp.sum(obs_mask, axis=1), M).astype(jnp.int32) - 1
+    # Rows the cap costs each track (counted into n_dropped for tracks that
+    # contribute): raw-mask based — the depth guard's rare extra invalidation
+    # is not double-counted against the cap.
+    m_raw = jnp.sum(obs_mask, axis=1).astype(jnp.int32)
+    cap_lost_all = jnp.maximum(2 * m_raw - 3, 0) - jnp.maximum(
+        2 * jnp.minimum(m_raw, M) - 3, 0
+    )
 
     xs = (
         obs.reshape(n_chunks, C, N, 2),
@@ -255,6 +288,7 @@ def gated_row_stack(obs, obs_mask, p_f, track_ok, window, g, P, sigma2,
         track_ok.reshape(n_chunks, C),
         dof.reshape(n_chunks, C),
         jnp.arange(S, dtype=jnp.int32).reshape(n_chunks, C),
+        cap_lost_all.reshape(n_chunks, C),
     )
 
     # Row compaction into the fixed budget is a one-hot selection MATMUL:
@@ -268,17 +302,19 @@ def gated_row_stack(obs, obs_mask, p_f, track_ok, window, g, P, sigma2,
     # drop semantics, and the kept-row ORDER is also identical (chunk order).
     # Carry inits derive from the data (not fresh constants) so their
     # varying-axis status matches the loop outputs under shard_map.
-    zf = obs.ravel()[0] * 0
-    zi = dof[0] * 0
-    buf = jnp.zeros((R_MAX, W), dtype) + zf
-    carry0 = (buf, zi, zi)
+    if carry is None:
+        zf = obs.ravel()[0] * 0
+        zi = dof.ravel()[0] * 0
+        buf = jnp.zeros((R_MAX, W), dtype) + zf
+        carry = (buf, zi, zi, zi)
     row_ids = jnp.arange(R_MAX, dtype=jnp.int32)
 
     def body(carry, x):
-        buf, count, total = carry
-        o, m, pf, ok, df, sid = x
+        buf, count, total, capped = carry
+        o, m, pf, ok, df, sid, lost = x
         H_c, r_c, rv_c, V_c = jax.vmap(
-            lambda oo, mm, pp: track_projected_rows(oo, mm, pp, window, g, config)
+            lambda oo, mm, pp: track_projected_rows(
+                oo, mm, pp, window, g, config, m_cap=m_cap)
         )(o, m, pf)
         gate_c = gating_test_all(H_c, r_c, P, df, sigma2, config)
         rm = rv_c & (ok & gate_c)[:, None]
@@ -286,10 +322,13 @@ def gated_row_stack(obs, obs_mask, p_f, track_ok, window, g, P, sigma2,
         if aniso:
             # 1-based track-id column (0 = padding row; a padding row's V is
             # all-zero so its products vanish either way — the +1 just keeps
-            # ids unambiguous).
+            # ids unambiguous). Capped V is padded to the cap-independent
+            # buffer width N so carries chain across differently-capped calls.
             tid = jnp.broadcast_to(
                 (sid + 1).astype(dtype)[:, None, None], (C, R, 1)
             )
+            if M != N:
+                V_c = jnp.pad(V_c, ((0, 0), (0, 0), (0, N - M)))
             cols += [V_c, tid]
         rows = jnp.concatenate(cols, axis=-1).reshape(C * R, W)
         rmf = rm.reshape(C * R)
@@ -298,13 +337,22 @@ def gated_row_stack(obs, obs_mask, p_f, track_ok, window, g, P, sigma2,
         sel = ((tgt[None, :] == row_ids[:, None]) & rmf[None, :]).astype(dtype)
         buf = buf + jnp.matmul(sel, rows, precision=jax.lax.Precision.HIGHEST)
         count = jnp.minimum(count + nv, R_MAX)
-        return (buf, count, total + nv), (gate_c, jnp.any(rm, axis=1))
+        n_capped = jnp.sum(
+            lost * (ok & gate_c & jnp.any(rm, axis=1))
+        ).astype(capped.dtype)
+        return (buf, count, total + nv, capped + n_capped), (
+            gate_c, jnp.any(rm, axis=1))
 
-    (buf, _, total), (gate_ok, rows_present) = jax.lax.scan(body, carry0, xs)
+    carry, (gate_ok, rows_present) = jax.lax.scan(body, carry, xs)
+    gate_ok = gate_ok.reshape(S)
+    rows_present = rows_present.reshape(S)
+    if return_carry:
+        return gate_ok, rows_present, carry
+    buf, _, total, capped = carry
     H = buf[:R_MAX, :D]
     r = buf[:R_MAX, D]
-    n_dropped = jnp.maximum(total - R_MAX, 0).astype(jnp.int32)
-    out = (H, r, gate_ok.reshape(S), rows_present.reshape(S), n_dropped)
+    n_dropped = (jnp.maximum(total - R_MAX, 0) + capped).astype(jnp.int32)
+    out = (H, r, gate_ok, rows_present, n_dropped)
     if aniso:
         out = out + (buf[:R_MAX, D + 1 : D + 1 + N], buf[:R_MAX, D + 1 + N])
     return out
@@ -456,7 +504,8 @@ def marginalize_prep(state: FilterState, staged: StagedTracks, config: MsckfConf
 
     p_f_G, tri_ok = jax.vmap(
         lambda o, om: triangulate.initialize_position(
-            o, om, window.q_CG, window.p_C_G, config.max_gn_cost_norm
+            o, om, window.q_CG, window.p_C_G, config.max_gn_cost_norm,
+            n_iters=fcfg.lm_iters, n_trials=fcfg.lm_trials,
         )
     )(staged.obs, staged.obs_mask)
     # Degenerate geometry can yield non-finite points; those tracks are already
@@ -510,7 +559,7 @@ def marginalize(state: FilterState, staged: StagedTracks, config: MsckfConfig) -
 
     out = gated_row_stack(
         staged.obs, staged.obs_mask, p_f_G, track_ok, window, g, state.P,
-        sigma2, config,
+        sigma2, config, m_cap=config.shapes.marg_obs_cap or None,
     )
     H, r, gate_ok, rows_present, n_dropped = out[:5]
     V, tids = (out[5], out[6]) if config.filter.use_anisotropic_r else (None, None)

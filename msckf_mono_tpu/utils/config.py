@@ -106,6 +106,14 @@ class FilterConfig:
     # bench/serving flips it on).
     fused_updates: bool = False
 
+    # LM triangulation schedule (reference msckf.h:1179-1248 runs 11 outer
+    # iterations x 11 lambda trials). Serving configs shrink both: measured
+    # convergence on the bench world is 2-4 outer iterations with trial 0-1
+    # accepted, and a truncated failed sweep escalates lambda exactly like
+    # the reference's full failed sweep (see triangulate.initialize_position).
+    lm_iters: int = 11
+    lm_trials: int = 11
+
     # QR "T_H" row compression before the update (msckf.h:1343-1366). With
     # isotropic R the compressed and direct updates are algebraically
     # identical; the direct path is ~4x cheaper on TPU (batched QR is slow),
@@ -164,6 +172,17 @@ class ShapeConfig:
     #   candidates: mean 1.4, p90 4. The once-per-sequence first-prune burst
     #   beyond 16 drops those candidates' one-last-updates, counted in
     #   diag.staged_overflow.)
+    marg_obs_cap: int = 0          # obs-width cap of the marginalize row math
+    prune_obs_cap: int = 0         # obs-width cap of the prune-path row math
+    #   (0 = exact/uncapped. The row machinery pays (2M-3) rows per staged
+    #   track with M = min(cap, num_slots); tracks with more observations
+    #   than the cap lose the excess rows, counted in diag.row_overflow.
+    #   MEASURED distributions on the bench world (tools/measure_row_stats.py,
+    #   256x200): prune candidates carry exactly 2 involved obs at p99.9
+    #   (redundant-slot selections are <=2/frame) while paying the full
+    #   53-row buffer — the largest block of the round-4 step; marginalized
+    #   tracks carry ~20 obs (p99.9 = 21 of num_slots=28). The serving
+    #   config (bench.py) sets prune 6 / marg 22; parity configs keep 0.)
     staged_chunk: int = 8          # staged tracks per gated_row_stack scan step
     #   (bounds peak HBM of the dense per-track Jacobians: ~C·(2N-3)·D floats
     #   per filter instead of S·(2N-3)·D; 8 keeps batch-1024 under ~2 GB)

@@ -63,8 +63,16 @@ def main():
 
     cfg = MsckfConfig()
     if args.fused:
+        # Mirror bench.py's serving configuration exactly (fused update,
+        # cheap gating tier, bench staging caps) so the profile answers
+        # "where does the BENCH step's time go".
         cfg = dataclasses.replace(
-            cfg, filter=dataclasses.replace(cfg.filter, fused_updates=True)
+            cfg,
+            filter=dataclasses.replace(cfg.filter, fused_updates=True,
+                                       gating_precision="high"),
+            shapes=dataclasses.replace(
+                cfg.shapes, max_staged=8,
+                staged_chunk=max(2, 8192 // max(args.batch, 1))),
         )
     B = args.batch
 
