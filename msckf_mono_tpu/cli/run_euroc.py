@@ -147,7 +147,12 @@ def main(argv=None):
             tracked_uv=tb[0], tracked_ids=tb[1], tracked_valid=tb[2],
             new_uv=nb[0], new_ids=nb[1], new_valid=nb[2],
             state_id=jnp.asarray(i + 1, jnp.int32),
-            time=jnp.asarray(ts / 1e9, dtype),
+            # SECONDS SINCE SEQUENCE START, not absolute epoch: float32 ULP at
+            # a ~1.4e9 s EuRoC stamp is ~128 s, which would quantize every
+            # archived pruned-pose timestamp into ~2-minute steps (the
+            # reference stores camState.time as double). Absolute times are
+            # reconstructed host-side in float64 from state_id at export.
+            time=jnp.asarray((ts - frame_ts[0]) / 1e9, dtype),
             frame_valid=jnp.asarray(True),
         )
         state, out = step(state, frame)
@@ -199,11 +204,17 @@ def main(argv=None):
         pruned = (np.concatenate(pruned_accum) if pruned_accum
                   else np.zeros((0, 9)))
         pruned = pruned[np.argsort(pruned[:, 0], kind="stable")]
+        pruned_ids = pruned[:, 0].astype(np.int32)
+        # Exact float64 absolute stamps, reconstructed from state_id via the
+        # host-side frame_ts array (state_id = frame index + 1); the f32
+        # device buffer only carries seconds-since-start.
+        pruned_time = (frame_ts[np.clip(pruned_ids - 1, 0, len(frame_ts) - 1)]
+                       / 1e9 if len(pruned_ids) else pruned[:, 1])
         np.savez(
             args.out, est=est, time=frame_ts / 1e9,
             map=map_pts,                     # cumulative map_ (msckf.h:820-823)
-            pruned_state_id=pruned[:, 0].astype(np.int32),
-            pruned_time=pruned[:, 1],
+            pruned_state_id=pruned_ids,
+            pruned_time=pruned_time,
             pruned_q_CG=pruned[:, 2:6],      # pruned path (msckf.h:840-848)
             pruned_p_C_G=pruned[:, 6:9],
         )

@@ -73,8 +73,11 @@ def step(state: FilterState, frame: FrameInput, config: MsckfConfig):
     ~100 frames). "highest" keeps true f32 accumulation; the image front-end
     is free to use the fast default.
     """
-    state0 = state
+    # Capture the restore point AFTER clearing the per-frame archive buffers:
+    # a padded frame must expose EMPTY map/pruned buffers, not re-expose the
+    # previous frame's (a host driver accumulating per step would double-count).
     state = prune.clear_frame_archive(state)
+    state0 = state
 
     with jax.default_matmul_precision(config.filter.matmul_precision):
         state = propagate_block(state, frame, config)

@@ -446,7 +446,13 @@ def measurement_update(state: FilterState, H, r, sigma2, config: MsckfConfig,
     P = state.P
 
     if V is not None:
-        dv = jnp.asarray(config.v_var_prime - config.u_var_prime, dtype)
+        # v-u noise delta scaled from the PER-FILTER sigma2 (state.meas_sigma2
+        # via the callers), preserving the config's v/u variance ratio: a grid
+        # fleet with per-filter meas_sigma gets a consistent anisotropic R_o,
+        # and at sigma2 == u_var_prime this is exactly the reference's
+        # v_var_prime - u_var_prime (msckf.h:411-431).
+        ratio = jnp.asarray(config.v_var_prime / config.u_var_prime - 1.0, dtype)
+        dv = jnp.asarray(sigma2, dtype) * ratio
         M = V @ V.T
         if v_track_ids is not None:
             M = M * (v_track_ids[:, None] == v_track_ids[None, :])

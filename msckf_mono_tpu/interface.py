@@ -62,6 +62,7 @@ class VioInterface:
         dtype=jnp.float32,
         track_handler_kwargs: dict | None = None,
         keep_visualizer: bool = False,
+        collect_archives: bool = True,
     ):
         self.config = config or MsckfConfig()
         self.dtype = dtype
@@ -90,6 +91,11 @@ class VioInterface:
         self._q_CI = jnp.asarray(cam.q_CI, dtype)
         self._map_accum: list[np.ndarray] = []
         self._pruned_accum: list[dict] = []
+        # The cumulative map_/pruned_states_ archives cost device->host
+        # transfers every frame; on a tunneled TPU (~0.45 s per dispatch
+        # round-trip) users who never call map()/pruned_states() can turn
+        # the accumulation off entirely.
+        self.collect_archives = bool(collect_archives)
 
         cfg = self.config
         self._step = jax.jit(lambda s, f: msckf_filter.step(s, f, cfg))
@@ -97,6 +103,10 @@ class VioInterface:
             lambda s, f: msckf_filter.propagate_block(s, f, cfg)
         )
         self._last_image_time = None
+        # Device-side times are SECONDS SINCE THE FIRST IMAGE: float32 ULP at
+        # an absolute epoch stamp (~1.4e9 s) is ~128 s, which would quantize
+        # window/pruned pose timestamps. Getters add the origin back in f64.
+        self._time_origin: float | None = None
 
     # ---- callbacks (ros_interface.h:25-26) ----
 
@@ -131,6 +141,9 @@ class VioInterface:
         if not self.imu_calibrated:
             return False
 
+        if self._time_origin is None:
+            self._time_origin = float(time)
+
         drained = self._drain_imu(time)
         th = self.track_handler
         b_g = np.asarray(self.state.imu.b_g)
@@ -160,12 +173,13 @@ class VioInterface:
             tracked_uv=tb[0], tracked_ids=tb[1], tracked_valid=tb[2],
             new_uv=nb[0], new_ids=nb[1], new_valid=nb[2],
             state_id=jnp.asarray(self.frame_count, jnp.int32),
-            time=jnp.asarray(time, self.dtype),
+            time=jnp.asarray(time - self._time_origin, self.dtype),
             frame_valid=jnp.asarray(True),
         )
         self.state, self._last_out = self._step(self.state, frame)
         self._last_image_time = time
-        self._accumulate_map_and_pruned()
+        if self.collect_archives:
+            self._accumulate_map_and_pruned()
 
         if self.visualizer is not None:
             self.visualizer.add_current_features(th.cur_pts, th.cur_ids, th.cur_valid)
@@ -230,7 +244,8 @@ class VioInterface:
         return {
             "q_CG": np.asarray(w.q_CG)[valid],
             "p_C_G": np.asarray(w.p_C_G)[valid],
-            "time": np.asarray(w.time)[valid],
+            "time": np.asarray(w.time)[valid].astype(np.float64)
+            + (self._time_origin or 0.0),
             "state_id": np.asarray(w.state_id)[valid],
             "n_tracked": tracked[valid],
         }
@@ -244,22 +259,30 @@ class VioInterface:
     def _accumulate_map_and_pruned(self):
         """Host-side accumulation of the reference's unbounded ``map_`` and
         ``pruned_states_`` archives (msckf.h:49-50) from the per-frame
-        device buffers."""
+        device buffers.
+
+        All per-frame archive buffers come back in ONE ``jax.device_get``
+        (one tunnel round-trip per frame instead of up to nine) and are
+        filtered host-side.
+        """
         s = self.state
-        m = np.asarray(s.map_mask)
+        (m, mp, tm, tp, pm, pid, pt, pq, pp) = jax.device_get(
+            (s.map_mask, s.map_pts, s.tri_map_mask, s.tri_map_pts,
+             s.pruned_mask, s.pruned_ids, s.pruned_time, s.pruned_q, s.pruned_p)
+        )
+        m, tm, pm = np.asarray(m), np.asarray(tm), np.asarray(pm)
         if m.any():
-            self._map_accum.append(np.asarray(s.map_pts)[m])
-        tm = np.asarray(s.tri_map_mask)
+            self._map_accum.append(np.asarray(mp)[m])
         if tm.any():
-            self._map_accum.append(np.asarray(s.tri_map_pts)[tm])
-        pm = np.asarray(s.pruned_mask)
+            self._map_accum.append(np.asarray(tp)[tm])
         if pm.any():
             self._pruned_accum.append(
                 dict(
-                    state_id=np.asarray(s.pruned_ids)[pm],
-                    time=np.asarray(s.pruned_time)[pm],
-                    q_CG=np.asarray(s.pruned_q)[pm],
-                    p_C_G=np.asarray(s.pruned_p)[pm],
+                    state_id=np.asarray(pid)[pm],
+                    time=np.asarray(pt)[pm].astype(np.float64)
+                    + (self._time_origin or 0.0),
+                    q_CG=np.asarray(pq)[pm],
+                    p_C_G=np.asarray(pp)[pm],
                 )
             )
 
