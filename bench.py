@@ -82,6 +82,26 @@ def main():
         "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    # Cache hit/miss telemetry (VERDICT r4 item 8): the reported JSON says
+    # whether this invocation's programs came from the persistent cache and
+    # how much compile time the cache saved vs. paid retrieving.
+    cache_stats = {"hits": 0, "misses": 0, "retrieval_s": 0.0, "saved_s": 0.0}
+
+    def _on_event(event, **kw):
+        if event == "/jax/compilation_cache/cache_hits":
+            cache_stats["hits"] += 1
+        elif event == "/jax/compilation_cache/cache_misses":
+            cache_stats["misses"] += 1
+
+    def _on_duration(event, dur, **kw):
+        if event == "/jax/compilation_cache/cache_retrieval_time_sec":
+            cache_stats["retrieval_s"] += dur
+        elif event == "/jax/compilation_cache/compile_time_saved_sec":
+            cache_stats["saved_s"] += dur
+
+    jax.monitoring.register_event_listener(_on_event)
+    jax.monitoring.register_event_duration_secs_listener(_on_duration)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
@@ -269,10 +289,30 @@ def main():
             return tracks.update_tracks(s, f.tracked_uv, f.tracked_ids, f.tracked_valid, cfg)
 
         mstate, staged = jax.jit(jax.vmap(lambda s, f: get_staged(s, f)))(final, frame1)
-        table = timing.stage_timing(mstate, frame1, staged, cfg, reps=max(args.reps, 3))
-        lines = [f"per-stage device times (s, batch={args.batch}):"]
+        table = timing.stage_timing(mstate, frame1, staged, cfg,
+                                    reps=max(args.reps, 3), cost=True)
+        # TPU v5e (v5 lite) single-core ceilings. The filter runs
+        # matmul_precision="highest": each f32 dot lowers to a 6-pass bf16
+        # MXU decomposition, so the achievable matmul ceiling is peak/6.
+        PEAK_BF16 = 197e12
+        PEAK_F32H = PEAK_BF16 / 6.0
+        HBM_BW = 819e9
+        lines = [
+            f"per-stage device cost (batch={args.batch}):",
+            f"  {'stage':20s} {'ms':>9s} {'GFLOP':>8s} {'MFU%':>6s} "
+            f"{'HBM GB/s':>9s} {'BW%':>5s}",
+        ]
         for k in timing.STAGES:
-            lines.append(f"  {k:20s} {table[k]*1e3:9.2f} ms")
+            t_s, fl, by = table[k]
+            mfu = fl / t_s / PEAK_F32H * 100.0
+            bw = by / t_s / 1e9
+            lines.append(
+                f"  {k:20s} {t_s*1e3:9.2f} {fl/1e9:8.2f} {mfu:6.1f} "
+                f"{bw:9.1f} {bw*1e9/HBM_BW*100:5.1f}"
+            )
+        lines.append(
+            "  (MFU% = stage FLOPs / time / (197 TFLOP/s / 6): the 6-pass "
+            "f32-highest MXU ceiling on v5e; BW% vs 819 GB/s HBM)")
         for ln in lines:
             log(ln)
         try:
@@ -281,7 +321,7 @@ def main():
                               "must not clobber the committed table)")
             with open(os.path.join(REPO, "PROF_STAGES.txt"), "w") as f:
                 f.write(
-                    f"# per-stage device times, {dev}, batch={args.batch}, "
+                    f"# per-stage device cost, {dev}, batch={args.batch}, "
                     f"frames={args.frames} ({time.strftime('%Y-%m-%d %H:%M:%S')})\n"
                     + "\n".join(lines[1:])
                     + f"\n  whole-frame (scan)   {dt/args.frames*1e3:9.2f} ms\n"
@@ -304,6 +344,12 @@ def main():
                     "row_overflow": metrics.get("total_row_overflow"),
                     "staged_overflow": metrics.get("total_staged_overflow"),
                     "residualized": metrics.get("total_residualized"),
+                    "compile_cache": {
+                        "hits": cache_stats["hits"],
+                        "misses": cache_stats["misses"],
+                        "retrieval_s": round(cache_stats["retrieval_s"], 1),
+                        "compile_time_saved_s": round(cache_stats["saved_s"], 1),
+                    },
                 },
             }
         )

@@ -42,8 +42,12 @@ def _sync(out):
     np.asarray(jax.device_get(leaf.ravel()[:1]))
 
 
-def stage_timing(state, frame, staged, config: MsckfConfig, reps: int = 10):
-    """Times each stage on the current device. Returns {stage: seconds}.
+def stage_timing(state, frame, staged, config: MsckfConfig, reps: int = 10,
+                 cost: bool = False):
+    """Times each stage on the current device. Returns {stage: seconds}, or
+    {stage: (seconds, flops, bytes_accessed)} with ``cost=True`` (XLA's
+    compiled cost analysis, divided by the in-scan rep count — the numerator
+    of an MFU/roofline estimate; VERDICT r4 item 2).
 
     ``state``/``frame`` may carry a batch axis (stages are vmapped then).
     The reported time is per-iteration device time (in-scan repetition).
@@ -83,5 +87,18 @@ def stage_timing(state, frame, staged, config: MsckfConfig, reps: int = 10):
         t0 = time.perf_counter()
         res = jfn(state, *rest)
         _sync(res)
-        out[name] = (time.perf_counter() - t0) / reps
+        dt = (time.perf_counter() - t0) / reps
+        if cost:
+            flops = bytes_ac = float("nan")
+            try:
+                ca = jfn.lower(state, *rest).compile().cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                flops = float(ca.get("flops", float("nan"))) / reps
+                bytes_ac = float(ca.get("bytes accessed", float("nan"))) / reps
+            except Exception:
+                pass
+            out[name] = (dt, flops, bytes_ac)
+        else:
+            out[name] = dt
     return out

@@ -58,11 +58,24 @@ def test_compiled_reference_parity():
     state_rows = [r for r in rows if r.get("stage") in (0, 1, 2)]
     pre_prune = [r for r in state_rows if r["frame"] < 20]
     assert pre_prune, "expected pre-prune frames"
-    assert max(r["dp"] for r in pre_prune) < 1e-9
-    assert max(r["dq"] for r in pre_prune) < 1e-9
-    assert max(r["dP_rel"] for r in pre_prune) < 1e-8
+    # measured: <=1e-13 state / <=1e-12 P pre-prune (REF_PARITY.json);
+    # asserted with ~10x headroom (VERDICT r4 weak #7 asked ceilings near
+    # the measured envelope, not 1e4x above it)
+    assert max(r["dp"] for r in pre_prune) < 1e-11
+    assert max(r["dq"] for r in pre_prune) < 1e-11
+    assert max(r["dP_rel"] for r in pre_prune) < 1e-10
 
-    # across the first prune cycles: LM-tolerance-limited but tightly bounded
-    assert summary["max_dp"] < 1e-4
+    # across the first prune cycles: LM-tolerance-limited but tightly
+    # bounded (measured at 24 frames: dp 5.1e-6, dq 8.9e-7, dP_rel 3.2e-7)
+    assert summary["max_dp"] < 5e-5
     assert summary["max_dq"] < 1e-5
-    assert summary["max_dP_rel"] < 1e-4
+    assert summary["max_dP_rel"] < 1e-5
+
+    # finish(): our end-of-sequence residualization vs the reference's OWN
+    # measurementUpdate on the correctly-assembled finish system (stage 9;
+    # the as-written reference finish() hits the p_f_G_vec index-
+    # misalignment bug documented in summary["finish_note"])
+    fin = summary["finish"]
+    assert fin is not None and "dP_rel" in fin, fin
+    assert fin["dp"] < 1e-4, fin
+    assert fin["dP_rel"] < 1e-4, fin

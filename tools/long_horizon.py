@@ -1,12 +1,23 @@
-"""Long-horizon f32 stress run (VERDICT r4 item 7).
+"""Long-horizon f32 stress run (VERDICT r4 weak #2/#3).
 
 2000 frames (100 s at 20 Hz — EuRoC sequences are ~180 s) at batch >= 256 on
-the TPU serving config: tracks ATE growth, covariance conditioning (trace,
-symmetry drift, finiteness), and overflow counters along the horizon. The
-round-3 evidence topped out at 200 frames; the reference runs whole sequences
-(asl_msckf.cpp:206-478). Writes LONG_HORIZON.json at the repo root.
+the TPU, in TWO cells:
+
+  * ``serving``  — the bench serving config (fused updates, max_staged=8,
+    obs-width caps), the thing that actually ships;
+  * ``generous`` — a drop-(almost-)nothing control (max_staged=16, row budget
+    384, tri buffer 48, no obs caps): if the serving ATE plateau is
+    overflow-induced, this curve separates from it; if the curves track each
+    other, the serving caps are vindicated at horizon. (The reference drops
+    nothing, msckf.h:336-449.)
+
+Tracks ATE growth, covariance conditioning (trace, symmetry drift,
+finiteness, min VALID diagonal — masked to live window slots; the r4 version
+min'd over masked slots and always read 0.0), and overflow counters. Writes
+LONG_HORIZON.json at the repo root.
 
 Run serially on the TPU:  python tools/long_horizon.py
+Env: LH_BATCH, LH_FRAMES, LH_CELLS=serving,generous
 """
 
 from __future__ import annotations
@@ -44,20 +55,30 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def cell_config(name: str) -> MsckfConfig:
     cfg = MsckfConfig()
     cfg = dataclasses.replace(
         cfg,
         filter=dataclasses.replace(cfg.filter, fused_updates=True,
                                    gating_precision="high"),
-        shapes=dataclasses.replace(cfg.shapes,
-                                   staged_chunk=max(8, 8192 // B),
-                                   max_staged=8),
     )
-    log(f"generating {T}-frame world...")
-    seq = synthetic.generate(cfg, n_frames=T, seed=0, pixel_noise=0.5)
-    frames = synthetic.to_frame_inputs(seq, jnp.float32)
+    if name == "serving":
+        # mirrors bench.py's serving shape (incl. the r5 obs-width caps)
+        return dataclasses.replace(
+            cfg, shapes=dataclasses.replace(
+                cfg.shapes, staged_chunk=max(8, 8192 // B), max_staged=8,
+                prune_obs_cap=6, marg_obs_cap=22))
+    if name == "generous":
+        return dataclasses.replace(
+            cfg, shapes=dataclasses.replace(
+                cfg.shapes, staged_chunk=max(4, 4096 // B), max_staged=16,
+                max_update_rows=384, max_tri_prune=48,
+                prune_obs_cap=0, marg_obs_cap=0))
+    raise ValueError(name)
 
+
+def run_cell(name: str, seq, frames):
+    cfg = cell_config(name)
     imu = ground_truth_init(
         p_I_G=[5.0, 0.0, 0.0], q_IG=[1, 0, 0, 0],
         v_I_G=[0.0, 5.0 * 0.35, 0.2 * 1.4], b_g=seq.b_g, b_a=seq.b_a,
@@ -76,6 +97,7 @@ def main():
 
     run = sharding.batched_run_sequence(cfg)
     n_chunks = T // CHUNK
+    N = cfg.shapes.num_slots
 
     @jax.jit
     def run_chunk(states, frames_full, start):
@@ -92,6 +114,12 @@ def main():
         )
         final, outs = run(states, bf)
         P_ = final.P
+        diag = jnp.diagonal(P_, axis1=-2, axis2=-1)  # (B, D)
+        # VALID diagonal mask: 15 IMU entries + 6 per live window slot
+        slot_valid = final.window.valid  # (B, N)
+        dmask = jnp.concatenate(
+            [jnp.ones((B, 15), bool),
+             jnp.repeat(slot_valid, 6, axis=-1)], axis=-1)
         health = {
             "mean_pos_cov_trace": jnp.mean(
                 jnp.trace(P_[..., 12:15, 12:15], axis1=-2, axis2=-1)),
@@ -99,7 +127,7 @@ def main():
                 jnp.trace(P_[..., 12:15, 12:15], axis1=-2, axis2=-1)),
             "max_sym_drift": jnp.max(jnp.abs(P_ - jnp.swapaxes(P_, -1, -2))),
             "max_abs_P": jnp.max(jnp.abs(P_)),
-            "min_diag_P": jnp.min(jnp.diagonal(P_, axis1=-2, axis2=-1)),
+            "min_valid_diag_P": jnp.min(jnp.where(dmask, diag, jnp.inf)),
             "row_overflow": jnp.sum(final.diag.row_overflow),
             "staged_overflow": jnp.sum(final.diag.staged_overflow),
             "gating_rejects": jnp.sum(final.diag.gating_rejects),
@@ -116,7 +144,6 @@ def main():
         ps.append(np.asarray(p))
         h = {k: float(v) for k, v in health.items()}
         h["frame"] = (c + 1) * CHUNK
-        # windowed ATE so far for filter 0 + fleet mean every few chunks
         if (c + 1) % 4 == 0 or c == n_chunks - 1:
             est = np.concatenate(ps, axis=1)  # (B, frames_so_far, 3)
             f_sofar = est.shape[1]
@@ -127,23 +154,42 @@ def main():
             h["ate_p95"] = (round(float(np.percentile(ates, 95)), 4)
                             if len(ates) else None)
             h["n_finite"] = int(finite.sum())
-            log(f"frame {h['frame']:5d}: ate_mean={h.get('ate_mean')} "
+            log(f"[{name}] frame {h['frame']:5d}: ate_mean={h.get('ate_mean')} "
                 f"p95={h.get('ate_p95')} finite={h['n_finite']}/{B} "
-                f"covtr={h['mean_pos_cov_trace']:.3f} sym={h['max_sym_drift']:.2e}")
+                f"covtr={h['mean_pos_cov_trace']:.3f} "
+                f"mindiag={h['min_valid_diag_P']:.2e} "
+                f"row_ovf={h['row_overflow']:.0f}")
         curve.append(h)
     wall = time.perf_counter() - t0
+    log(f"[{name}] wall {wall:.1f}s ({B * T / wall:.0f} frame-steps/s incl. compile)")
+    return {"wall_s": round(wall, 1),
+            "frame_steps_per_s": round(B * T / wall, 1),
+            "final": curve[-1], "curve": curve}
 
-    out = {
-        "batch": B, "frames": T, "wall_s": round(wall, 1),
-        "frame_steps_per_s": round(B * T / wall, 1),
-        "device": str(jax.devices()[0]),
-        "final": curve[-1],
-        "curve": curve,
-    }
+
+def main():
+    cells = os.environ.get("LH_CELLS", "serving,generous").split(",")
+    log(f"generating {T}-frame world...")
+    cfg0 = MsckfConfig()
+    seq = synthetic.generate(cfg0, n_frames=T, seed=0, pixel_noise=0.5)
+    frames = synthetic.to_frame_inputs(seq, jnp.float32)
+
+    out = {"batch": B, "frames": T, "device": str(jax.devices()[0]),
+           "cells": {}}
+    for name in cells:
+        out["cells"][name] = run_cell(name.strip(), seq, frames)
+
+    if len(out["cells"]) == 2:
+        s = out["cells"]["serving"]["final"]
+        g = out["cells"]["generous"]["final"]
+        if s.get("ate_mean") and g.get("ate_mean"):
+            out["serving_vs_generous_ate_mean_delta_m"] = round(
+                s["ate_mean"] - g["ate_mean"], 4)
     with open(os.path.join(REPO, "LONG_HORIZON.json"), "w") as f:
         json.dump(out, f, indent=1)
-    log(f"wall {wall:.1f}s  ({B * T / wall:.0f} frame-steps/s incl. compile)")
-    print(json.dumps({k: out[k] for k in ("batch", "frames", "final")}, indent=1))
+    print(json.dumps({k: v for k, v in out.items() if k != "cells"}
+                     | {n: c["final"] for n, c in out["cells"].items()},
+                     indent=1, default=str))
 
 
 if __name__ == "__main__":

@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--independent", action="store_true",
+                    help="per-stream front-end: every stage sees B DIFFERENT "
+                         "images (the ros_interface.cpp:48-120 shape) instead "
+                         "of one shared camera — isolates what stops batching "
+                         "across streams (VERDICT r4 item 5)")
     args = ap.parse_args()
 
     import jax
@@ -112,6 +117,13 @@ def main():
     img_prev = imgs_d[-2]
     img_cur = imgs_d[-1]
     dtype = jnp.float32
+    if args.independent:
+        # B DIFFERENT images: tile the warm frames cyclically + a per-stream
+        # brightness jitter so no two streams are bit-identical
+        idx = jnp.arange(B) % (T_warm - 1)
+        jit_b = (jnp.arange(B, dtype=jnp.float32)[:, None, None] % 7.0) * 0.5
+        imgs_prev_b = imgs_d[idx] + jit_b
+        imgs_cur_b = imgs_d[idx + 1] + jit_b
 
     # ---- stage fns; each scanned ITERS times on device ----
     def timed(name, fn, *xs):
@@ -140,43 +152,77 @@ def main():
 
     results = {}
 
-    # pyramid (shared image — once per frame regardless of B)
-    results["pyramid"] = timed(
-        "pyramid",
-        lambda img: (img + 1e-30 * jnp.sum(klt.build_pyramid(img, fcfg.max_level)[-1]),),
-        img_cur,
-    )
+    # pyramid: shared mode builds ONE image's pyramid per frame; independent
+    # mode builds B of them
+    if args.independent:
+        results["pyramid"] = timed(
+            "pyramid",
+            lambda imgs: (imgs + 1e-30 * jnp.sum(jax.vmap(
+                lambda im: klt.build_pyramid(im, fcfg.max_level)[-1])(imgs)),),
+            imgs_cur_b,
+        )
+    else:
+        results["pyramid"] = timed(
+            "pyramid",
+            lambda img: (img + 1e-30 * jnp.sum(klt.build_pyramid(img, fcfg.max_level)[-1]),),
+            img_cur,
+        )
 
     # KLT all levels (B, F)
-    pyr_prev = klt.build_pyramid(img_prev, fcfg.max_level)
-    pyr_cur = klt.build_pyramid(img_cur, fcfg.max_level)
     pts = fstates.pts
     valid = fstates.valid
 
-    def klt_all(pts, valid):
-        p, s = jax.vmap(
-            lambda pp, vv: klt.track_features_pyr(
-                pyr_prev, pyr_cur, pp, pp, vv,
-                window_size=fcfg.window_size, max_iters=fcfg.max_iters,
-            )
-        )(pts, valid)
-        # feed the ORIGINAL pts back (plus an un-DCE-able trace of p) so the
-        # tracked points don't drift out of the image across iterations
-        return pts + 1e-30 * p, valid
+    if args.independent:
+        def klt_all(pts, valid):
+            def one(im_p, im_c, pp, vv):
+                pyr_p = klt.build_pyramid(im_p, fcfg.max_level)
+                pyr_c = klt.build_pyramid(im_c, fcfg.max_level)
+                return klt.track_features_pyr(
+                    pyr_p, pyr_c, pp, pp, vv,
+                    window_size=fcfg.window_size, max_iters=fcfg.max_iters,
+                )
+            p, s = jax.vmap(one)(imgs_prev_b, imgs_cur_b, pts, valid)
+            return pts + 1e-30 * p, valid
 
-    results["klt"] = timed("klt", klt_all, pts, valid)
+        results["klt(+pyr)"] = timed("klt(+pyr)", klt_all, pts, valid)
+    else:
+        pyr_prev = klt.build_pyramid(img_prev, fcfg.max_level)
+        pyr_cur = klt.build_pyramid(img_cur, fcfg.max_level)
 
-    # detection (image-only score+reduction, per-filter occupancy mask)
+        def klt_all(pts, valid):
+            p, s = jax.vmap(
+                lambda pp, vv: klt.track_features_pyr(
+                    pyr_prev, pyr_cur, pp, pp, vv,
+                    window_size=fcfg.window_size, max_iters=fcfg.max_iters,
+                )
+            )(pts, valid)
+            # feed the ORIGINAL pts back (plus an un-DCE-able trace of p) so
+            # the tracked points don't drift across iterations
+            return pts + 1e-30 * p, valid
+
+        results["klt"] = timed("klt", klt_all, pts, valid)
+
+    # detection (image score+reduction, per-filter occupancy mask)
     occ = jnp.zeros((B, fcfg.n_grid_rows * fcfg.n_grid_cols), bool)
 
-    def det(occ):
-        xy, sc, v = jax.vmap(
-            lambda o: detect.detect_features(
-                img_cur, o, fcfg.n_grid_rows, fcfg.n_grid_cols,
-                fcfg.fast_threshold, fcfg.detection_threshold,
-            )
-        )(occ)
-        return (occ ^ (v[:, : occ.shape[1]] & occ),)  # == occ, un-DCE-able
+    if args.independent:
+        def det(occ):
+            xy, sc, v = jax.vmap(
+                lambda im, o: detect.detect_features(
+                    im, o, fcfg.n_grid_rows, fcfg.n_grid_cols,
+                    fcfg.fast_threshold, fcfg.detection_threshold,
+                )
+            )(imgs_cur_b, occ)
+            return (occ ^ (v[:, : occ.shape[1]] & occ),)
+    else:
+        def det(occ):
+            xy, sc, v = jax.vmap(
+                lambda o: detect.detect_features(
+                    img_cur, o, fcfg.n_grid_rows, fcfg.n_grid_cols,
+                    fcfg.fast_threshold, fcfg.detection_threshold,
+                )
+            )(occ)
+            return (occ ^ (v[:, : occ.shape[1]] & occ),)  # == occ, un-DCE-able
 
     results["detect"] = timed("detect", det, occ)
 
@@ -194,7 +240,7 @@ def main():
     # full fused image step (for the total)
     def full(states, fstates):
         frames1 = pipeline.ImageFrameInput(
-            image=img_cur,
+            image=imgs_cur_b if args.independent else img_cur,
             imu_omega=jnp.broadcast_to(om[-1][None], (B,) + om.shape[1:]),
             imu_acc=jnp.broadcast_to(ac[-1][None], (B,) + ac.shape[1:]),
             imu_dt=jnp.broadcast_to(dt_[-1][None], (B,) + dt_.shape[1:]),
@@ -205,7 +251,8 @@ def main():
         s2, f2 = jax.vmap(
             lambda s, fs, f: pipeline.step((s, fs), f, cfg, fcfg)[0],
             in_axes=(0, 0, pipeline.ImageFrameInput(
-                image=None, imu_omega=0, imu_acc=0, imu_dt=0,
+                image=0 if args.independent else None,
+                imu_omega=0, imu_acc=0, imu_dt=0,
                 state_id=0, time=0, frame_valid=0)),
         )(states, fstates, frames1)
         return s2, f2
@@ -215,14 +262,16 @@ def main():
     total = results["full_step"]
     log(f"\nfull step {total * 1e3:.2f} ms => {B / total:.0f} img-frame-steps/s "
         f"at batch {B}")
-    lines = [f"# image-pipeline per-stage device times, batch={B} "
+    mode = "independent-streams" if args.independent else "shared-camera"
+    lines = [f"# image-pipeline per-stage device times, batch={B}, {mode} "
              f"({time.strftime('%Y-%m-%d %H:%M:%S')})"]
     for k, v in results.items():
         lines.append(f"  {k:12s} {v * 1e3:9.2f} ms")
     if jax.default_backend() == "tpu":
-        with open(os.path.join(REPO, "PROF_IMAGE_STAGES.txt"), "w") as f:
+        suffix = "_INDEP" if args.independent else ""
+        with open(os.path.join(REPO, f"PROF_IMAGE_STAGES{suffix}.txt"), "w") as f:
             f.write("\n".join(lines) + "\n")
-        log("wrote PROF_IMAGE_STAGES.txt")
+        log(f"wrote PROF_IMAGE_STAGES{suffix}.txt")
 
 
 if __name__ == "__main__":

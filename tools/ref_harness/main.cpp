@@ -142,32 +142,33 @@ int main(int argc, char** argv) {
     }
     double time = next();
 
-    auto dump = [&](int stage) {
-      const int N = (int)msckf.cam_states_.size();
+    auto dump_obj = [&](msckf_mono::MSCKF<S>& m, int stage) {
+      const int N = (int)m.cam_states_.size();
       w1(t); w1(stage); w1(N);
-      const auto& imu = msckf.imu_state_;
+      const auto& imu = m.imu_state_;
       w1(imu.q_IG.w()); w1(imu.q_IG.x()); w1(imu.q_IG.y()); w1(imu.q_IG.z());
       for (int i = 0; i < 3; i++) w1(imu.p_I_G(i));
       for (int i = 0; i < 3; i++) w1(imu.v_I_G(i));
       for (int i = 0; i < 3; i++) w1(imu.b_g(i));
       for (int i = 0; i < 3; i++) w1(imu.b_a(i));
       for (int n = 0; n < N; n++) {
-        const auto& cs = msckf.cam_states_[n];
+        const auto& cs = m.cam_states_[n];
         w1(cs.state_id);
         w1(cs.q_CG.w()); w1(cs.q_CG.x()); w1(cs.q_CG.y()); w1(cs.q_CG.z());
         for (int i = 0; i < 3; i++) w1(cs.p_C_G(i));
       }
       const int D = 15 + 6 * N;
       Eigen::Matrix<S, Eigen::Dynamic, Eigen::Dynamic> P(D, D);
-      P.block(0, 0, 15, 15) = msckf.imu_covar_;
+      P.block(0, 0, 15, 15) = m.imu_covar_;
       if (N > 0) {
-        P.block(0, 15, 15, 6 * N) = msckf.imu_cam_covar_;
-        P.block(15, 0, 6 * N, 15) = msckf.imu_cam_covar_.transpose();
-        P.block(15, 15, 6 * N, 6 * N) = msckf.cam_covar_;
+        P.block(0, 15, 15, 6 * N) = m.imu_cam_covar_;
+        P.block(15, 0, 6 * N, 15) = m.imu_cam_covar_.transpose();
+        P.block(15, 15, 6 * N, 6 * N) = m.cam_covar_;
       }
       for (int i = 0; i < D; i++)
         for (int j = 0; j < D; j++) w1(P(i, j));
     };
+    auto dump = [&](int stage) { dump_obj(msckf, stage); };
 
     msckf.augmentState(t + 1, time);  // our FrameInput.state_id is 1-based
     msckf.update(feats, ids);
@@ -185,8 +186,208 @@ int main(int argc, char** argv) {
     dump(1);
     msckf.pruneEmptyStates();
     dump(2);
+
+    // End-of-sequence force-residualization (msckf.h:765-807): run it LAST
+    // so the per-frame pipeline above is untouched. Stage 4 records the
+    // post-finish state for run_parity.py's finish diff.
+    if (t == T - 1) {
+      // Stage 5: read-only pre-finish candidate census — per live tracked
+      // feature: id, observation count, #window states that saw it (the
+      // `camStatesTemp.size()` that finish() gates on), then map_/counter.
+      {
+        w1(t); w1(5); w1((double)msckf.tracked_feature_ids_.size());
+        for (size_t fid : msckf.tracked_feature_ids_) {
+          double nobs = 0, ncs = 0;
+          for (auto& ft : msckf.feature_tracks_)
+            if (ft.feature_id == fid) { nobs = (double)ft.observations.size(); break; }
+          for (auto& cs : msckf.cam_states_)
+            for (auto id2 : cs.tracked_feature_ids)
+              if (id2 == fid) ncs += 1;
+          w1((double)fid); w1(nobs); w1(ncs);
+        }
+        w1((double)msckf.map_.size());
+        w1((double)msckf.num_feature_tracks_residualized_);
+      }
+      // Stage 7: per-track finish instrumentation on a COPY of the filter —
+      // replicate the finish()/marginalize() track loop read-only, calling
+      // the reference's own building blocks, and dump each candidate's
+      // (feature_id, motion_pass, tri_valid, gate_pass, nObs) so a gate
+      // flip vs our side is directly visible.
+      {
+        msckf_mono::MSCKF<S> probe = msckf;
+        std::vector<size_t> tids = probe.tracked_feature_ids_;
+        std::vector<msckf_mono::featureTrackToResidualize<S>> cand;
+        for (size_t i = 0; i < tids.size(); i++) {
+          std::vector<msckf_mono::camState<S>> cst;
+          std::vector<size_t> cidx;
+          probe.removeTrackedFeature(tids[i], cst, cidx);
+          if ((int)cst.size() >= (int)probe.msckf_params_.min_track_length) {
+            msckf_mono::featureTrackToResidualize<S> tr;
+            for (auto& ft : probe.feature_tracks_)
+              if (ft.feature_id == tids[i]) {
+                tr.feature_id = ft.feature_id;
+                tr.observations = ft.observations;
+                tr.initialized = ft.initialized;
+                if (ft.initialized) tr.p_f_G = ft.p_f_G;
+                break;
+              }
+            tr.cam_states = cst;
+            tr.cam_state_indices = cidx;
+            cand.push_back(tr);
+          }
+        }
+        std::vector<double> rows;
+        for (auto& tr : cand) {
+          double motion = probe.checkMotion(tr.observations.front(),
+                                            tr.cam_states) ? 1.0 : 0.0;
+          msckf_mono::Vector3<S> pf;
+          double isvalid = probe.initializePosition(tr.cam_states,
+                                                    tr.observations, pf) ? 1.0 : 0.0;
+          double gate = 0.0;
+          if (motion > 0.5 && isvalid > 0.5) {
+            msckf_mono::VectorX<S> r_j =
+                probe.calcResidual(pf, tr.cam_states, tr.observations);
+            msckf_mono::MatrixX<S> H_o_j, A_j;
+            probe.calcMeasJacobian(pf, tr.cam_state_indices, H_o_j, A_j);
+            msckf_mono::VectorX<S> r_o_j = A_j.transpose() * r_j;
+            gate = probe.gatingTest(H_o_j, r_o_j,
+                                    (int)tr.cam_states.size() - 1) ? 1.0 : 0.0;
+          }
+          rows.push_back((double)tr.feature_id);
+          rows.push_back(motion);
+          rows.push_back(isvalid);
+          rows.push_back(gate);
+          rows.push_back((double)tr.observations.size());
+          rows.push_back(pf(0)); rows.push_back(pf(1)); rows.push_back(pf(2));
+        }
+        w1(t); w1(7); w1((double)(rows.size() / 8));
+        for (double v : rows) w1(v);
+
+        // Stage 8: the exact stacked update inputs finish() will feed to
+        // measurementUpdate (replicates marginalize's stacking, gated) —
+        // lets Python diff update ALGEBRAS on bit-identical H_o/r_o/R_o.
+        {
+          int total_nObs = 0, num_passed = 0;
+          std::vector<int> use;
+          std::vector<msckf_mono::Vector3<S>,
+                      Eigen::aligned_allocator<msckf_mono::Vector3<S>>> pfs;
+          for (auto& tr : cand) {
+            bool motion = probe.checkMotion(tr.observations.front(), tr.cam_states);
+            msckf_mono::Vector3<S> pf;
+            bool isvalid = motion &&
+                probe.initializePosition(tr.cam_states, tr.observations, pf);
+            pfs.push_back(pf);
+            use.push_back(isvalid ? 1 : 0);
+            if (isvalid) { num_passed++; total_nObs += (int)tr.observations.size(); }
+          }
+          int D = 15 + 6 * (int)probe.cam_states_.size();
+          msckf_mono::MatrixX<S> H_o =
+              msckf_mono::MatrixX<S>::Zero(2 * total_nObs - 3 * num_passed, D);
+          msckf_mono::MatrixX<S> R_o = msckf_mono::MatrixX<S>::Zero(
+              2 * total_nObs - 3 * num_passed, 2 * total_nObs - 3 * num_passed);
+          msckf_mono::VectorX<S> r_o(2 * total_nObs - 3 * num_passed);
+          Eigen::Matrix<S, 2, 1> rep;
+          rep << probe.noise_params_.u_var_prime, probe.noise_params_.v_var_prime;
+          int sc = 0;
+          for (size_t i2 = 0; i2 < cand.size(); i2++) {
+            if (!use[i2]) continue;
+            auto& tr = cand[i2];
+            msckf_mono::VectorX<S> r_j =
+                probe.calcResidual(pfs[i2], tr.cam_states, tr.observations);
+            int nObs = (int)tr.observations.size();
+            msckf_mono::MatrixX<S> R_j =
+                (rep.replicate(nObs, 1)).asDiagonal();
+            msckf_mono::MatrixX<S> H_o_j, A_j;
+            probe.calcMeasJacobian(pfs[i2], tr.cam_state_indices, H_o_j, A_j);
+            msckf_mono::VectorX<S> r_o_j = A_j.transpose() * r_j;
+            msckf_mono::MatrixX<S> R_o_j = A_j.transpose() * R_j * A_j;
+            if (probe.gatingTest(H_o_j, r_o_j, (int)tr.cam_states.size() - 1)) {
+              r_o.segment(sc, r_o_j.size()) = r_o_j;
+              H_o.block(sc, 0, H_o_j.rows(), H_o_j.cols()) = H_o_j;
+              R_o.block(sc, sc, R_o_j.rows(), R_o_j.cols()) = R_o_j;
+              sc += (int)H_o_j.rows();
+            }
+          }
+          w1(t); w1(8); w1((double)sc); w1((double)D);
+          for (int i2 = 0; i2 < sc; i2++)
+            for (int j2 = 0; j2 < D; j2++) w1(H_o(i2, j2));
+          for (int i2 = 0; i2 < sc; i2++) w1(r_o(i2));
+          for (int i2 = 0; i2 < sc; i2++)
+            for (int j2 = 0; j2 < sc; j2++) w1(R_o(i2, j2));
+
+          // Stage 9: feed the correctly-stacked system to the reference's
+          // OWN measurementUpdate on a fresh copy and dump the FULL state.
+          // This is the reference's finish() transfer function with its
+          // p_f_G_vec index-misalignment bug (msckf.h:352-374: motion-
+          // rejected tracks skip the p_f_G_vec.push_back but not the
+          // valid_tracks.push_back, so every later track residualizes
+          // against the WRONG — eventually out-of-bounds — 3D point)
+          // corrected; our finish() is compared against THIS.
+          {
+            msckf_mono::MSCKF<S> probe2 = msckf;
+            H_o.conservativeResize(sc, Eigen::NoChange);
+            r_o.conservativeResize(sc);
+            R_o.conservativeResize(sc, sc);
+            probe2.measurementUpdate(H_o, r_o, R_o);
+            dump_obj(probe2, 9);
+          }
+        }
+      }
+      // Stage 11: push the replicated candidates through the reference's OWN
+      // marginalize() on a fresh copy — bisects candidate construction vs
+      // stacking/update as the source of the finish() divergence.
+      {
+        msckf_mono::MSCKF<S> probe3 = msckf;
+        std::vector<size_t> tids3 = probe3.tracked_feature_ids_;
+        for (size_t i = 0; i < tids3.size(); i++) {
+          std::vector<msckf_mono::camState<S>> cst;
+          std::vector<size_t> cidx;
+          probe3.removeTrackedFeature(tids3[i], cst, cidx);
+          if ((int)cst.size() >= (int)probe3.msckf_params_.min_track_length) {
+            msckf_mono::featureTrackToResidualize<S> tr;
+            for (auto& ft : probe3.feature_tracks_)
+              if (ft.feature_id == tids3[i]) {
+                tr.feature_id = ft.feature_id;
+                tr.observations = ft.observations;
+                tr.initialized = ft.initialized;
+                if (ft.initialized) tr.p_f_G = ft.p_f_G;
+                break;
+              }
+            tr.cam_states = cst;
+            tr.cam_state_indices = cidx;
+            probe3.feature_tracks_to_residualize_.push_back(tr);
+          }
+          probe3.tracks_to_remove_.push_back(tids3[i]);
+        }
+        probe3.marginalize();
+        w1(t); w1(11);
+        for (int i2 = 0; i2 < 3; i2++) w1(probe3.imu_state_.p_I_G(i2));
+      }
+      // Stage 10: leftover-residualize census, then CORRECT the precondition.
+      // finish() (msckf.h:765-807) appends to feature_tracks_to_residualize_/
+      // tracks_to_remove_, but those are only cleared at the START of the
+      // next update() (msckf.h:218-219) — so a finish() after a frame whose
+      // update residualized tracks RE-APPLIES those tracks' measurements,
+      // with cam_state_indices left stale by pruneRedundantStates' state
+      // erasure. Stage-9 proves measurementUpdate on the correctly-assembled
+      // finish system matches the replication to 1e-6; the harness clears
+      // the leftovers so the comparison tests finish() semantics, not the
+      // double-apply bug (which we deliberately do not replicate).
+      w1(t); w1(10);
+      w1((double)msckf.feature_tracks_to_residualize_.size());
+      w1((double)msckf.tracks_to_remove_.size());
+      msckf.feature_tracks_to_residualize_.clear();
+      msckf.tracks_to_remove_.clear();
+      msckf.finish();
+      // Stage 6: post-finish counters (map growth == tracks triangulated).
+      {
+        w1(t); w1(6); w1((double)msckf.map_.size());
+        w1((double)msckf.num_feature_tracks_residualized_);
+      }
+      dump(4);
+    }
   }
   std::fclose(fout);
-  std::fprintf(stderr, "ref harness done: %d frames\n", T);
+  std::fprintf(stderr, "ref harness done: %d frames (+finish)\n", T);
   return 0;
 }

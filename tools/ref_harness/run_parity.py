@@ -97,6 +97,41 @@ def read_output(path):
                              rm_ids=buf[c : c + n].astype(int)))
             c += n
             continue
+        if stage == 5:
+            n = int(buf[c]); c += 1
+            cand = buf[c : c + 3 * n].reshape(n, 3); c += 3 * n
+            recs.append(dict(frame=frame, stage=5, cand=cand,
+                             map_size=int(buf[c]), n_resid=int(buf[c + 1])))
+            c += 2
+            continue
+        if stage == 6:
+            recs.append(dict(frame=frame, stage=6,
+                             map_size=int(buf[c]), n_resid=int(buf[c + 1])))
+            c += 2
+            continue
+        if stage == 7:
+            n = int(buf[c]); c += 1
+            tracks = buf[c : c + 8 * n].reshape(n, 8); c += 8 * n
+            recs.append(dict(frame=frame, stage=7, tracks=tracks))
+            continue
+        if stage == 11:
+            recs.append(dict(frame=frame, stage=11, p=buf[c : c + 3]))
+            c += 3
+            continue
+        if stage == 10:
+            recs.append(dict(frame=frame, stage=10,
+                             leftover_resid=int(buf[c]),
+                             leftover_remove=int(buf[c + 1])))
+            c += 2
+            continue
+        if stage == 8:
+            rows_n = int(buf[c]); D = int(buf[c + 1]); c += 2
+            H = buf[c : c + rows_n * D].reshape(rows_n, D); c += rows_n * D
+            r = buf[c : c + rows_n]; c += rows_n
+            R = buf[c : c + rows_n * rows_n].reshape(rows_n, rows_n)
+            c += rows_n * rows_n
+            recs.append(dict(frame=frame, stage=8, H=H, r=r, R=R))
+            continue
         N = int(buf[c]); c += 1
         imu = buf[c : c + 16]; c += 16
         cams = buf[c : c + 8 * N].reshape(N, 8); c += 8 * N
@@ -124,9 +159,48 @@ def _snapshot(state):
     )
 
 
-def run_ours(cfg: MsckfConfig, seq, init_q, init_p, init_v):
+def _inject_ref_state(state, ref_rec):
+    """Overwrite our imu/window/P with the reference's dumped state (permuted
+    into our slot layout by state_id). Used to measure the finish() TRANSFER
+    FUNCTION on identical inputs, isolating it from the ~5e-6 compounded
+    per-frame drift (which a near-threshold chi2 gate can amplify
+    discretely)."""
+    import jax.numpy as jnp
+
+    w = state.window
+    slot_ids = np.asarray(w.state_id)
+    slot_valid = np.asarray(w.valid)
+    slot_of = {int(s): i for i, s in enumerate(slot_ids) if slot_valid[i]}
+
+    q_CG = np.asarray(w.q_CG).copy()
+    p_C_G = np.asarray(w.p_C_G).copy()
+    idx = list(range(15))
+    for j, sid in enumerate(ref_rec["cam_ids"]):
+        s = slot_of[int(sid)]
+        q_CG[s] = ref_rec["cam_q"][j]
+        p_C_G[s] = ref_rec["cam_p"][j]
+        idx += list(range(15 + 6 * s, 15 + 6 * s + 6))
+    idx = np.asarray(idx)
+    P = np.asarray(state.P).copy()
+    P[np.ix_(idx, idx)] = ref_rec["P"]
+
+    imu = state.imu.replace(
+        q_IG=jnp.asarray(ref_rec["q"]), p_I_G=jnp.asarray(ref_rec["p"]),
+        v_I_G=jnp.asarray(ref_rec["v"]), b_g=jnp.asarray(ref_rec["b_g"]),
+        b_a=jnp.asarray(ref_rec["b_a"]),
+    )
+    return state.replace(
+        imu=imu, P=jnp.asarray(P),
+        window=w.replace(q_CG=jnp.asarray(q_CG), p_C_G=jnp.asarray(p_C_G)),
+    )
+
+
+def run_ours(cfg: MsckfConfig, seq, init_q, init_p, init_v, ref_final=None):
     """Run the per-frame pipeline split at the same stage boundaries the C++
-    harness dumps at. Returns {(frame, stage): snapshot, (frame, 3): rm ids}."""
+    harness dumps at. Returns {(frame, stage): snapshot, (frame, 3): rm ids}.
+
+    ``ref_final``: the reference's last post-pruneEmpty dump; when given, the
+    finish() stage starts from IT rather than our own accumulated state."""
     from msckf_mono_tpu.core import augment as aug_mod
     from msckf_mono_tpu.core import prune as prune_mod
     from msckf_mono_tpu.core import tracks as tracks_mod
@@ -180,6 +254,59 @@ def run_ours(cfg: MsckfConfig, seq, init_q, init_p, init_v):
         recs[(t, 1)] = _snapshot(state)
         state = stage_c(state)
         recs[(t, 2)] = _snapshot(state)
+
+    # End-of-sequence finish (msckf.h:765-807): the reference residualizes
+    # ALL remaining eligible tracks in ONE stacked marginalize, so run our
+    # finish with max_staged = max_tracks (a single pass == a single update).
+    cfg_fin = dataclasses.replace(
+        cfg, shapes=dataclasses.replace(cfg.shapes, max_staged=cfg.shapes.max_tracks)
+    )
+    if ref_final is not None:
+        state = _inject_ref_state(state, ref_final)
+    tr = state.tracks
+    act = np.asarray(tr.active)
+    recs[(T - 1, 5)] = dict(
+        ids=np.asarray(tr.feature_id)[act],
+        nobs=np.asarray(jnp.sum(tr.obs_mask, axis=1))[act],
+        n_resid=int(state.num_residualized),
+    )
+    # per-track finish diagnostics (mirrors the C++ stage-7 probe): stage the
+    # same single pass finish() will run and record motion/tri/gate verdicts
+    from msckf_mono_tpu.core import update as upd_mod
+
+    w_rows = cfg_fin.shapes.max_staged * (2 * cfg_fin.shapes.num_slots - 3)
+    cfg_diag = dataclasses.replace(
+        cfg_fin, shapes=dataclasses.replace(cfg_fin.shapes, max_update_rows=w_rows)
+    )
+    with jax.default_matmul_precision(cfg.filter.matmul_precision):
+        st2, staged_d, _ = mf._stage_pass(state, cfg_diag)
+        p_f_d, track_ok_d, motion_d, tri_d = upd_mod.marginalize_prep(
+            st2, staged_d, cfg_diag)
+        out_d = upd_mod.gated_row_stack(
+            staged_d.obs, staged_d.obs_mask, p_f_d, track_ok_d, st2.window,
+            st2.imu.g, st2.P, state.meas_sigma2.astype(jnp.float64), cfg_diag,
+            m_cap=None,
+        )
+    sv = np.asarray(staged_d.valid)
+    recs[(T - 1, 7)] = dict(
+        ids=np.asarray(staged_d.feature_id)[sv],
+        motion=np.asarray(motion_d)[sv], tri=np.asarray(tri_d)[sv],
+        gate=np.asarray(out_d[2])[sv],
+        nobs=np.asarray(jnp.sum(staged_d.obs_mask, axis=1))[sv],
+        pf=np.asarray(p_f_d)[sv],
+    )
+
+    state, fpts, fmask = jax.jit(
+        lambda s: mf.finish(s, cfg_fin, collect_map=True)
+    )(state)
+    recs[(T - 1, 6)] = dict(
+        n_resid=int(state.num_residualized), n_map=int(np.asarray(fmask).sum())
+    )
+    recs[(T - 1, 4)] = _snapshot(state)
+    # Stage 9 is the reference's finish with its p_f_G_vec misalignment bug
+    # corrected (see main.cpp); our finish state is compared against BOTH —
+    # stage 9 measures transfer-function parity, stage 4 documents the bug.
+    recs[(T - 1, 9)] = recs[(T - 1, 4)]
     return recs
 
 
@@ -192,6 +319,65 @@ def compare(ref_recs, our_recs):
     rows = []
     for ref in ref_recs:
         key = (ref["frame"], ref["stage"])
+        if ref["stage"] in (8, 11):
+            continue  # analyzed by tools/ref_harness/finish_algebra.py
+        if ref["stage"] == 10:
+            rows.append(dict(frame=ref["frame"], stage=10,
+                             leftover_resid=ref["leftover_resid"],
+                             leftover_remove=ref["leftover_remove"]))
+            continue
+        if ref["stage"] == 7:
+            ours = our_recs.get(key, {})
+            our_by_id = {int(i): (bool(m), bool(tv), bool(g), int(n), pf)
+                         for i, m, tv, g, n, pf in zip(
+                             ours.get("ids", []), ours.get("motion", []),
+                             ours.get("tri", []), ours.get("gate", []),
+                             ours.get("nobs", []), ours.get("pf", []))}
+            mism = []
+            pf_diffs = []
+            for rec7 in ref["tracks"]:
+                fid, mo, tv, ga, nob = rec7[:5]
+                pf_ref = rec7[5:8]
+                o = our_by_id.get(int(fid))
+                # effective verdict: does the track contribute rows?
+                r_used = bool(mo and tv and ga)
+                if o is None:
+                    mism.append(dict(id=int(fid), ref_used=r_used, ours=None))
+                    continue
+                o_used = bool(o[0] and o[1] and o[2])
+                if o_used != r_used:
+                    mism.append(dict(id=int(fid), ref_used=r_used,
+                                     ours=(o[0], o[1], o[2])))
+                if r_used and o_used:
+                    pf_diffs.append(
+                        (float(np.abs(np.asarray(pf_ref) - o[4]).max()), int(fid)))
+            pf_diffs.sort(reverse=True)
+            rows.append(dict(frame=ref["frame"], stage=7,
+                             n_ref=len(ref["tracks"]), n_ours=len(our_by_id),
+                             verdict_mismatches=mism,
+                             max_pf_diff=pf_diffs[0] if pf_diffs else None,
+                             top_pf_diffs=pf_diffs[:5]))
+            continue
+        if ref["stage"] in (5, 6):
+            ours = our_recs.get(key, {})
+            row = dict(frame=ref["frame"], stage=ref["stage"],
+                       ref_n_resid=ref["n_resid"],
+                       our_n_resid=ours.get("n_resid"))
+            if ref["stage"] == 5:
+                ref_ids = set(int(i) for i in ref["cand"][:, 0])
+                our_ids = set(int(i) for i in ours.get("ids", []))
+                row.update(
+                    ref_cand=sorted((int(i), int(n), int(m))
+                                    for i, n, m in ref["cand"]),
+                    our_cand=sorted(zip(map(int, ours.get("ids", [])),
+                                        map(int, ours.get("nobs", [])))),
+                    ids_match=ref_ids == our_ids,
+                )
+            else:
+                row["ref_map_size"] = ref["map_size"]
+                row["our_n_map"] = ours.get("n_map")
+            rows.append(row)
+            continue
         if ref["stage"] == 3:
             ours_rm = our_recs.get(key)
             match = np.array_equal(np.sort(ref["rm_ids"]), ours_rm)
@@ -293,14 +479,36 @@ def run_parity(frames=24, noise=0.5, isotropic=False, rebuild=False):
     subprocess.run([exe, inp, outp], check=True)
     ref_recs = read_output(outp)
 
-    our_recs = run_ours(cfg, seq, init_q, init_p, init_v)
+    # finish() runs from the reference's own dumped pre-finish state: the
+    # per-frame rows below measure compounded drift; the finish row measures
+    # the finish transfer function on identical inputs (a near-threshold
+    # chi2 gate would otherwise amplify the ~1e-6 drift discretely).
+    ref_final = max(
+        (r for r in ref_recs if r.get("stage") == 2), key=lambda r: r["frame"]
+    )
+    our_recs = run_ours(cfg, seq, init_q, init_p, init_v, ref_final=ref_final)
     rows = compare(ref_recs, our_recs)
 
     state_rows = [r for r in rows if r.get("stage") in (0, 1, 2)]
+    finish_rows = [r for r in rows if r.get("stage") == 9]
+    finish_buggy = [r for r in rows if r.get("stage") == 4]
     summary = {
         "frames": frames,
         "pixel_noise": noise,
         "final": state_rows[-1],
+        "finish": finish_rows[-1] if finish_rows else None,
+        "finish_vs_buggy_cpp": finish_buggy[-1] if finish_buggy else None,
+        "finish_note": (
+            "'finish' diffs our finish() against the reference's OWN "
+            "measurementUpdate on the correctly-assembled finish system "
+            "(main.cpp stage 9). The reference's as-written finish() "
+            "('finish_vs_buggy_cpp') hits a latent marginalize() bug: "
+            "motion-rejected tracks skip p_f_G_vec.push_back but not "
+            "valid_tracks.push_back (msckf.h:352-374), so every later track "
+            "residualizes against the wrong — eventually out-of-bounds — "
+            "triangulated point; its output varies ~0.1 m with heap layout "
+            "(finish_algebra.py documents the three-way bisection). "
+            "We deliberately do not replicate the misalignment."),
         "max_dp": max(r["dp"] for r in state_rows),
         "max_dq": max(r["dq"] for r in state_rows),
         "max_dP_rel": max((r.get("dP_rel", float("nan")) for r in state_rows)),
@@ -316,7 +524,7 @@ def run_parity(frames=24, noise=0.5, isotropic=False, rebuild=False):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--rebuild", action="store_true")
     ap.add_argument("--noise", type=float, default=0.5)
     ap.add_argument("--isotropic", action="store_true",
@@ -327,11 +535,30 @@ def main():
     summary, rows = run_parity(args.frames, args.noise, args.isotropic,
                                args.rebuild)
 
-    stage_name = {0: "marg", 1: "pruneR", 2: "pruneE", 3: "rmsel"}
+    stage_name = {0: "marg", 1: "pruneR", 2: "pruneE", 3: "rmsel",
+                  4: "finish(cpp-bug)", 9: "finish"}
     for r in rows:
         if r.get("stage") == 3:
             if not r["rm_match"]:
                 print(f"f{r['frame']:3d} rmsel MISMATCH ref={r['ref_rm']} ours={r['our_rm']}")
+            continue
+        if r.get("stage") == 5:
+            print(f"f{r['frame']:3d} finish-cand ids_match={r['ids_match']} "
+                  f"ref={r['ref_cand']} ours={r['our_cand']}")
+            continue
+        if r.get("stage") == 6:
+            print(f"f{r['frame']:3d} finish-post ref_resid={r['ref_n_resid']} "
+                  f"our_resid={r['our_n_resid']} our_map={r['our_n_map']}")
+            continue
+        if r.get("stage") == 10:
+            print(f"f{r['frame']:3d} finish-leftovers resid={r['leftover_resid']} "
+                  f"remove={r['leftover_remove']} (cleared by harness; "
+                  f"reference finish() would double-apply these)")
+            continue
+        if r.get("stage") == 7:
+            print(f"f{r['frame']:3d} finish-tracks n={r['n_ref']}/{r['n_ours']} "
+                  f"verdict_mismatches={r['verdict_mismatches']} "
+                  f"top_pf_diffs={r['top_pf_diffs']}")
             continue
         print(
             f"f{r['frame']:3d} {stage_name[r['stage']]:6s} "
