@@ -147,10 +147,17 @@ def main():
     # at 256x200: prune-candidate involved obs == 2 at p99.9, marginalized
     # obs <= 21): prune rows 53 -> 9, marg rows 53 -> 41 per staged track.
     # diag.row_overflow counts any rows the caps cost.
+    # prune_chunk: with prune_obs_cap=6 each candidate pays 9 buffer rows
+    # (2*6-3) instead of 53, so the prune sweep can chunk ~6x larger at the
+    # same peak HBM — one scan step for all 48 candidates at batch <= 1024
+    # (the frame step is latency-bound, PROF_STAGES.txt: 0.6% MFU / 11% BW).
+    # Divisors of 48 so gated_row_stack's divisibility snap never shrinks it.
+    pchunk = {1024: 48, 2048: 24, 4096: 12}.get(
+        max(args.batch, 1024) if args.batch <= 1024 else args.batch, 6)
     cfg = dataclasses.replace(
         cfg, shapes=dataclasses.replace(cfg.shapes, staged_chunk=chunk_s,
                                         max_staged=8, prune_obs_cap=6,
-                                        marg_obs_cap=22)
+                                        marg_obs_cap=22, prune_chunk=pchunk)
     )
     log(f"device: {dev}, batch={args.batch}, frames={args.frames}")
 
@@ -341,6 +348,10 @@ def main():
                 "diagnostics": {
                     "ate_m": round(float(ate), 4),
                     "compile_plus_first_s": round(compile_plus_first, 1),
+                    # compile+first INCLUDES one full measured run; the true
+                    # setup cost (trace + cache retrieval + any compile) is
+                    # the difference vs the steady-state run time
+                    "setup_overhead_s": round(compile_plus_first - dt, 1),
                     "row_overflow": metrics.get("total_row_overflow"),
                     "staged_overflow": metrics.get("total_staged_overflow"),
                     "residualized": metrics.get("total_residualized"),

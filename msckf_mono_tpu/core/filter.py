@@ -146,6 +146,7 @@ def _fused_vision_update(state: FilterState, staged, config: MsckfConfig) -> Fil
         prep["c_obs"], prep["c_mask_inv"], prep["p_use"], prep["use_track"],
         window, g, state.P, sigma2, config,
         m_cap=shp.prune_obs_cap or None, carry=carry,
+        chunk=shp.prune_chunk or None,
     )
     H, r, gate_p, present_p, n_dropped = out[:5]
     V, tids = (out[5], out[6]) if config.filter.use_anisotropic_r else (None, None)

@@ -279,6 +279,7 @@ def prune_redundant_states(state: FilterState, config: MsckfConfig) -> FilterSta
         prep["c_obs"], prep["c_mask_inv"], prep["p_use"], prep["use_track"],
         window, g, state.P, sigma2, config,
         m_cap=config.shapes.prune_obs_cap or None,
+        chunk=config.shapes.prune_chunk or None,
     )
     H, r, gate_ok, _rows_present, n_rows_dropped = out[:5]
     V, tids = (out[5], out[6]) if config.filter.use_anisotropic_r else (None, None)

@@ -221,7 +221,8 @@ def gating_test_all(H_all, r_all, P, dof, sigma2, config: MsckfConfig):
 
 def gated_row_stack(obs, obs_mask, p_f, track_ok, window, g, P, sigma2,
                     config: MsckfConfig, m_cap: int | None = None,
-                    carry=None, return_carry: bool = False):
+                    carry=None, return_carry: bool = False,
+                    chunk: int | None = None):
     """Chunked projected-rows + gating + row compaction for S staged tracks.
 
     Processes the staged-track axis in chunks of ``shapes.staged_chunk``
@@ -255,7 +256,9 @@ def gated_row_stack(obs, obs_mask, p_f, track_ok, window, g, P, sigma2,
     share one EKF update); pass ``return_carry=True`` to get
     (gate_ok, rows_present, carry) instead of the finalized stack. The
     buffer layout is cap-independent (aniso V columns are padded to N), so
-    differently-capped calls chain safely.
+    differently-capped calls chain safely. ``chunk`` overrides
+    ``shapes.staged_chunk`` for this call (the prune path's capped rows let
+    it run much larger chunks at the same peak HBM — ``shapes.prune_chunk``).
     """
     S, N, _ = obs.shape
     M = N if m_cap is None else max(2, min(int(m_cap), N))
@@ -264,7 +267,7 @@ def gated_row_stack(obs, obs_mask, p_f, track_ok, window, g, P, sigma2,
     R_MAX = config.shapes.max_update_rows
     aniso = config.filter.use_anisotropic_r
     W = D + 1 + (N + 1 if aniso else 0)
-    C = min(config.shapes.staged_chunk, S)
+    C = min(chunk or config.shapes.staged_chunk, S)
     while S % C:
         C -= 1
     n_chunks = S // C

@@ -132,13 +132,16 @@ class StaticBackground:
             xy = undistort.undistort_equidistant(jnp.asarray(xy_d), cam.distortion_coeffs)
         else:
             xy = undistort.undistort_radtan(jnp.asarray(xy_d), cam.distortion_coeffs, iters=8)
-        d = np.concatenate([np.asarray(xy), np.ones((H * W, 1))], 1)
-        self.dirs = d / np.linalg.norm(d, axis=1, keepdims=True)  # (H*W, 3)
+        # unnormalized is fine: o + t*d hits the same point for any scaling
+        self.dirs = np.concatenate(
+            [np.asarray(xy), np.ones((H * W, 1))], 1).astype(np.float32)
         self.shape = (H, W)
 
         rng = np.random.default_rng(seed)
-        self.tex_wall = _periodic_value_noise(rng, (512, 4096), periodic_axes=(1,))
-        self.tex_flat = _periodic_value_noise(rng, (1024, 1024), periodic_axes=(0, 1))
+        self.tex_wall = _periodic_value_noise(
+            rng, (512, 4096), periodic_axes=(1,)).astype(np.float32)
+        self.tex_flat = _periodic_value_noise(
+            rng, (1024, 1024), periodic_axes=(0, 1)).astype(np.float32)
 
     @staticmethod
     def _bilinear(tex, u, v, wrap_u=True, wrap_v=False):
@@ -157,9 +160,9 @@ class StaticBackground:
                 + tex[v1, u0] * fv * (1 - fu) + tex[v1, u1] * fv * fu)
 
     def render(self, R_CG: np.ndarray, p_C_G: np.ndarray) -> np.ndarray:
-        """(H, W) float64 background intensity for the given camera pose."""
-        o = np.asarray(p_C_G, np.float64)
-        dw = self.dirs @ R_CG  # cam->world: (R_CG.T @ d_cam)^T rows
+        """(H, W) float32 background intensity for the given camera pose."""
+        o = np.asarray(p_C_G, np.float32)
+        dw = self.dirs @ R_CG.astype(np.float32)  # cam->world
         dx, dy, dz = dw[:, 0], dw[:, 1], dw[:, 2]
 
         # cylinder |xy| = R: camera is inside, take the positive root
@@ -175,21 +178,26 @@ class StaticBackground:
         xh = o[0] + t_cyl * dx
         yh = o[1] + t_cyl * dy
         theta = np.arctan2(yh, xh)
-        u_wall = (theta / (2 * np.pi) + 0.5) * Tu
-        v_wall = (np.clip(z_hit, self.z0, self.z1) - self.z0) / (self.z1 - self.z0) * (Tv - 1)
-        val_wall = self._bilinear(self.tex_wall, u_wall, v_wall, wrap_u=True)
+        u_wall = (theta * (1.0 / (2 * np.pi)) + 0.5) * Tu
+        v_wall = (np.clip(z_hit, self.z0, self.z1) - self.z0) * (
+            (Tv - 1) / (self.z1 - self.z0))
+        val = self._bilinear(self.tex_wall, u_wall, v_wall, wrap_u=True)
 
-        # floor/ceiling planes (texture repeats every 16 m)
-        z_plane = np.where(dz > 0, self.z1, self.z0)
-        t_pl = (z_plane - o[2]) / np.where(np.abs(dz) < 1e-9, 1e-9, dz)
-        t_pl = np.where(t_pl > 0, t_pl, 1e9)
-        xf = o[0] + t_pl * dx
-        yf = o[1] + t_pl * dy
-        Tf = self.tex_flat.shape[0]
-        val_flat = self._bilinear(self.tex_flat, xf / 16.0 * Tf, yf / 16.0 * Tf,
-                                  wrap_u=True, wrap_v=True)
+        # floor/ceiling planes (texture repeats every 16 m), sampled only for
+        # the off-wall minority of pixels
+        off = np.nonzero(~on_wall)[0]
+        if off.size:
+            dzo = dz[off]
+            z_plane = np.where(dzo > 0, self.z1, self.z0)
+            t_pl = (z_plane - o[2]) / np.where(np.abs(dzo) < 1e-9, 1e-9, dzo)
+            t_pl = np.where(t_pl > 0, t_pl, 1e9)
+            xf = o[0] + t_pl * dx[off]
+            yf = o[1] + t_pl * dy[off]
+            Tf = self.tex_flat.shape[0]
+            val[off] = self._bilinear(
+                self.tex_flat, xf * (Tf / 16.0), yf * (Tf / 16.0),
+                wrap_u=True, wrap_v=True)
 
-        val = np.where(on_wall, val_wall, val_flat)
         img = self.mean + self.amplitude * val
         return img.reshape(self.shape)
 

@@ -94,8 +94,15 @@ def stage_timing(state, frame, staged, config: MsckfConfig, reps: int = 10,
                 ca = jfn.lower(state, *rest).compile().cost_analysis()
                 if isinstance(ca, (list, tuple)):
                     ca = ca[0]
-                flops = float(ca.get("flops", float("nan"))) / reps
-                bytes_ac = float(ca.get("bytes accessed", float("nan"))) / reps
+                # XLA cost analysis counts a while/scan BODY once, not
+                # per trip (verified on this jax) — so the reps-scan here
+                # already reports exactly ONE stage iteration's flops.
+                # Caveat: any scan INSIDE a stage is also counted once;
+                # the serving config runs both gated_row_stack sweeps in
+                # one chunk (staged_chunk >= max_staged, prune_chunk =
+                # max_staged_prune), so the serving numbers are exact.
+                flops = float(ca.get("flops", float("nan")))
+                bytes_ac = float(ca.get("bytes accessed", float("nan")))
             except Exception:
                 pass
             out[name] = (dt, flops, bytes_ac)

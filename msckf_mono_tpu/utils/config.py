@@ -186,6 +186,13 @@ class ShapeConfig:
     staged_chunk: int = 8          # staged tracks per gated_row_stack scan step
     #   (bounds peak HBM of the dense per-track Jacobians: ~C·(2N-3)·D floats
     #   per filter instead of S·(2N-3)·D; 8 keeps batch-1024 under ~2 GB)
+    prune_chunk: int = 0           # prune-side gated_row_stack chunk override
+    #   (0 = use staged_chunk. With prune_obs_cap active each prune candidate
+    #   pays only 2·cap-3 buffer rows instead of 2N-3, so the prune call can
+    #   run ~R-ratio larger chunks at the SAME peak HBM — at cap 6 that is
+    #   53/9 ≈ 6x, letting the 48-candidate prune sweep run in ONE scan step
+    #   instead of six. The frame step is latency-bound (PROF_STAGES.txt:
+    #   0.6% MFU, 11% HBM BW), so sequential chunk steps are what cost.)
     max_features_per_frame: int = 64   # front-end features ingested per frame
     imu_per_frame: int = 10        # IMU samples between camera frames (200/20 Hz)
 

@@ -185,3 +185,38 @@ def test_fused_step_with_caps_runs_and_matches_uncapped_closely():
     # marg cap 26 >= any track's obs; prune cap 6 >= the <=2-slot involved
     # sets of this world: identical information, tiny fp-ordering drift only.
     np.testing.assert_allclose(pc, pb, atol=5e-4)
+
+
+def test_chunk_override_is_bitwise_identical():
+    """gated_row_stack(chunk=...) must reproduce the default-chunk stack
+    bit-for-bit: rows accumulate in global staged order via the carried
+    count, so the chunk size only changes the scan step granularity
+    (ShapeConfig.prune_chunk lets the capped prune sweep run in one step)."""
+    state, (set_a, set_b) = _staged_sets()
+    g = state.imu.g
+    sigma2 = jnp.asarray(CFG.u_var_prime, state.P.dtype)
+
+    obs = jnp.concatenate([set_a[0], set_b[0]])
+    mask = jnp.concatenate([set_a[1], set_b[1]])
+    p = jnp.concatenate([set_a[2], set_b[2]])
+    ok = jnp.concatenate([set_a[3], set_b[3]])
+    S = int(obs.shape[0])
+
+    base = upd.gated_row_stack(
+        obs, mask, p, ok, state.window, g, state.P, sigma2, CFG
+    )
+    for chunk in (2, S):
+        alt = upd.gated_row_stack(
+            obs, mask, p, ok, state.window, g, state.P, sigma2, CFG,
+            chunk=chunk,
+        )
+        for a, b in zip(base[:5], alt[:5]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # chunk=1 differs only at the ULP level (vmap-over-1 lowers the per-track
+    # math slightly differently); content and gates are the same
+    alt1 = upd.gated_row_stack(
+        obs, mask, p, ok, state.window, g, state.P, sigma2, CFG, chunk=1
+    )
+    np.testing.assert_allclose(np.asarray(base[0]), np.asarray(alt1[0]),
+                               atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(base[2]), np.asarray(alt1[2]))
