@@ -399,6 +399,10 @@ def _run_images(args, cfg):
         max_features=64,
         window_size=int(os.environ.get("MSCKF_KLT_WINDOW", 21)),
         max_level=int(os.environ.get("MSCKF_KLT_LEVELS", 4)) - 1,
+        # serving tier for the image-domain matmuls (pyramid, Shi-Tomasi):
+        # 1-pass bf16; the printed ATE carries the accuracy cost, "highest"
+        # reproduces the exact-f32 parity path
+        image_precision=os.environ.get("MSCKF_IMAGE_PRECISION", "default"),
     )
 
     seq, world = synthetic.generate(
@@ -456,8 +460,20 @@ def _run_images(args, cfg):
             return jnp.broadcast_to(x[:, None], (chunk, B) + x.shape[1:])
 
         img_c = sl(imgs_a)
+        if args.independent_streams:
+            # Per-stream DISTINCT pixels: a deterministic brightness offset
+            # per stream defeats XLA's broadcast-algebra rewrites, which
+            # otherwise collapse the "independent" per-stream pyramid/FAST/
+            # Shi-Tomasi work back to shared-camera compute (measured round
+            # 5: the isolated per-stream pyramid stage alone costs more than
+            # the whole broadcast-content frame step). The offset rides
+            # fused into consumers — no (chunk, B, H, W) buffer
+            # materializes — and is geometry-neutral, so ATE stays
+            # meaningful.
+            jit_b = (jnp.arange(B, dtype=jnp.float32) % 7.0) * 0.5
+            img_b = b(img_c) + jit_b[None, :, None, None]
         frames = pipeline.ImageFrameInput(
-            image=b(img_c) if args.independent_streams else img_c,
+            image=img_b if args.independent_streams else img_c,
             imu_omega=b(sl(om_a)), imu_acc=b(sl(ac_a)), imu_dt=b(sl(dt_a)),
             state_id=b(sl(sid_a)), time=b(sl(tm_a)),
             frame_valid=jnp.ones((chunk, B), bool),

@@ -107,7 +107,13 @@ def main(argv=None):
     th = TrackHandler(
         cam.K, cam.distortion_coeffs, cam.distortion_model,
         n_grid_rows=10, n_grid_cols=10, max_features=100,
-        window_size=31, max_level=4,
+        # ONE shipped KLT window across the repo (bench.py serving config
+        # matches): 21 px / 4 levels, decided on the world-anchored
+        # static-texture render world (KLT_WINDOW_AB.json, round 5:
+        # ATE 0.236 at 21/4 vs 0.300 at 31/5 vs 0.823 at the reference's
+        # 51/5 — large windows genuinely mix motion across the world's
+        # depth discontinuities; no per-frame-noise artifact remains).
+        window_size=21, max_level=3,
     )
 
     state = init_filter_state(cfg, imu0, dtype=dtype)

@@ -19,6 +19,9 @@ Everything is mask-based with a fixed (n_cells,) output.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 # (dx, dy) offsets of the 16-pixel Bresenham circle, in circular order.
@@ -101,16 +104,59 @@ def _integral_boxsum(img, half: int):
     return out
 
 
-def shi_tomasi_score(img, halfbox: int = 15):
-    """Min-eigenvalue response per pixel (reference corner_detector.cpp:38-79)."""
+@functools.lru_cache(maxsize=None)
+def _grad_box_matrices(H: int, W: int, half: int):
+    """Static banded operators for the dense Shi-Tomasi response.
+
+    Central difference along an axis and the [v-half, v+half) box sum (the
+    reference's patch convention, corner_detector.cpp:49-72, clipped to the
+    image like the integral-image formulation) are both banded linear maps,
+    so the whole dense response is six matmuls — the TPU-native form. The
+    double-cumsum integral image costs lane-axis shift relayouts that
+    measured 21.8 ms per 64-image batch on v5e (round 5); these matmuls ride
+    the MXU instead. Border rows/cols of the gradient operators are zero:
+    the reference's interior mask (below) never consumes them, so the
+    circular-roll wraparound of the old formulation is irrelevant here.
+    numpy at trace time: the arrays become jit constants.
+    """
+    import numpy as np
+
+    def grad(n):
+        G = np.zeros((n, n), np.float32)
+        for i in range(1, n - 1):
+            G[i, i + 1] = 1.0
+            G[i, i - 1] = -1.0
+        return G
+
+    def box(n):
+        B = np.zeros((n, n), np.float32)
+        for i in range(n):
+            B[i, max(i - half, 0) : max(min(i + half, n), 0)] = 1.0
+        return B
+
+    return grad(H), grad(W), box(H), box(W)
+
+
+def shi_tomasi_score(img, halfbox: int = 15, precision: str = "highest"):
+    """Min-eigenvalue response per pixel (reference corner_detector.cpp:38-79).
+
+    Gradients and box sums are banded matmuls (_grad_box_matrices); the
+    default HIGHEST precision keeps the response exact f32 regardless of the
+    caller's matmul-precision context (serving may pass "default" — 1-pass
+    bf16, ~0.4% response rounding that only perturbs per-cell argmax
+    tie-breaks; the image bench's ATE carries the measured cost)."""
     H, W = img.shape
-    dx = jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1)   # I(x+1) - I(x-1)
-    dy = jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0)
+    Gy, Gx, Bv, Bh = _grad_box_matrices(H, W, halfbox)
+    Gy, Gx = jnp.asarray(Gy, img.dtype), jnp.asarray(Gx, img.dtype)
+    Bv, Bh = jnp.asarray(Bv, img.dtype), jnp.asarray(Bh, img.dtype)
+    dx = jnp.dot(img, Gx.T, precision=precision)      # I(x+1) - I(x-1)
+    dy = jnp.dot(Gy, img, precision=precision)
 
     box_area = (2 * halfbox) ** 2
-    dxx = _integral_boxsum(dx * dx, halfbox) / (2.0 * box_area)
-    dyy = _integral_boxsum(dy * dy, halfbox) / (2.0 * box_area)
-    dxy = _integral_boxsum(dx * dy, halfbox) / (2.0 * box_area)
+    Z = jnp.stack([dx * dx, dy * dy, dx * dy])        # (3, H, W)
+    S = jnp.einsum("vy,cyx,ux->cvu", Bv, Z, Bh,
+                   precision=precision) / (2.0 * box_area)
+    dxx, dyy, dxy = S[0], S[1], S[2]
 
     tr = dxx + dyy
     det = dxx * dyy - dxy * dxy
@@ -141,6 +187,7 @@ def detect_features(
     fast_threshold: float = 20.0,
     detection_threshold: float = 40.0,
     use_pallas: bool | None = None,
+    st_precision: str = "highest",
 ):
     """Full detection pipeline. Returns (xy (C,2), score (C,), valid (C,)) with
     C = n_rows*n_cols grid cells — at most one new corner per unoccupied cell.
@@ -163,7 +210,7 @@ def detect_features(
     else:
         mask, fscore = fast_score_10(img, fast_threshold)
         nms = nonmax_3x3(fscore, mask)
-    st = shi_tomasi_score(img)
+    st = shi_tomasi_score(img, precision=st_precision)
 
     # Occupancy masks AFTER the tile reduction (below), not here: occupancy
     # is per-CELL, so the best corner within a cell is independent of it —

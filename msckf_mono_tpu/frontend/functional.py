@@ -43,12 +43,18 @@ class FrontendConfig:
     fast_threshold: float = 20.0
     detection_threshold: float = 40.0
     max_flow_px: float = 25.0
+    # matmul tier for the image-domain ops (pyramid build, Shi-Tomasi):
+    # "highest" = exact f32 (the parity default), "default" = 1-pass bf16
+    # (the serving tier; the image bench's ATE carries the measured cost —
+    # same pattern as FilterConfig.matmul_precision / MIXED_PRECISION.md)
+    image_precision: str = "highest"
 
     def __hash__(self):
         return hash(
             (self.n_grid_rows, self.n_grid_cols, self.max_features,
              self.window_size, self.max_level, self.max_iters,
-             self.fast_threshold, self.detection_threshold, self.max_flow_px)
+             self.fast_threshold, self.detection_threshold, self.max_flow_px,
+             self.image_precision)
         )
 
 
@@ -122,7 +128,8 @@ def frontend_step(
     H, W = img.shape
     K, K_inv = _camera_arrays(config, dtype)
 
-    cur_pyr = klt.build_pyramid(img.astype(dtype), fcfg.max_level)
+    cur_pyr = klt.build_pyramid(img.astype(dtype), fcfg.max_level,
+                                precision=fcfg.image_precision)
 
     # ---- track (corner_detector.cpp:320-394) ----
     Hm = K @ dR.astype(dtype) @ K_inv
@@ -159,6 +166,7 @@ def frontend_step(
         img.astype(dtype), occupied,
         fcfg.n_grid_rows, fcfg.n_grid_cols,
         fcfg.fast_threshold, fcfg.detection_threshold,
+        st_precision=fcfg.image_precision,
     )
     order = jnp.argsort(jnp.logical_not(det_valid), stable=True)[:F]
     new_xy = jnp.where(det_valid[order, None], xy[order], 0.0).astype(dtype)

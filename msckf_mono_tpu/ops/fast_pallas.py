@@ -74,18 +74,25 @@ def _fast_nms_kernel(img_ref, out_ref, slab, sem, *, threshold, tile_h, W_true, 
             shifted = pltpu.roll(shifted, (-dx) % Wp, 1)
         return shifted - center
 
-    score_b = jnp.full_like(center, -big)
-    score_d = jnp.full_like(center, -big)
-    for k in range(16):
-        arc_b = None
-        arc_d = None
-        for j in range(k, k + 10):
-            d = diff(j % 16)
-            arc_b = d if arc_b is None else jnp.minimum(arc_b, d)
-            arc_d = (-d) if arc_d is None else jnp.minimum(arc_d, -d)
-        score_b = jnp.maximum(score_b, arc_b)
-        score_d = jnp.maximum(score_d, arc_d)
-    score = jnp.maximum(score_b, score_d)
+    # Each circle difference computed ONCE (16 lane rolls total; the naive
+    # per-arc form recomputed them 10x = 160 rolls, the tile's hottest op
+    # class), then the 16 length-10 circular arc minima by doubling:
+    # min2 -> min4 -> min8, arc10[k] = min(min8[k], min2[k+8]) — 4 min ops
+    # per arc instead of 9. Bright arcs minimize d, dark arcs minimize -d
+    # (= -max d), sharing the same sweep on negated diffs.
+    diffs = [diff(j) for j in range(16)]
+
+    def arc10_max(ds):
+        m2 = [jnp.minimum(ds[j], ds[(j + 1) % 16]) for j in range(16)]
+        m4 = [jnp.minimum(m2[j], m2[(j + 2) % 16]) for j in range(16)]
+        m8 = [jnp.minimum(m4[j], m4[(j + 4) % 16]) for j in range(16)]
+        best = None
+        for k in range(16):
+            a = jnp.minimum(m8[k], m2[(k + 8) % 16])
+            best = a if best is None else jnp.maximum(best, a)
+        return best
+
+    score = jnp.maximum(arc10_max(diffs), arc10_max([-d for d in diffs]))
 
     # interior mask in GLOBAL image coordinates (3px border invalid);
     # padded-image row start+r0 is global row start+r0-HALO

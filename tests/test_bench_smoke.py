@@ -50,7 +50,9 @@ def test_bench_worker_smoke():
     err = proc.stderr.decode()
     from msckf_mono_tpu.eval.timing import STAGES
     for stage in STAGES:
-        pat = rf"^  {re.escape(stage)}\s+[\d.]+ ms$"
+        # r5 format: "  stage  <ms> <GFLOP> <MFU%> <HBM GB/s> <BW%>"
+        # (floats; GFLOP/BW columns may be nan if cost analysis is absent)
+        pat = rf"^  {re.escape(stage)}\s+[\d.]+(\s+(nan|[\d.-]+)){{4}}$"
         assert re.search(pat, err, re.MULTILINE), (
             f"stage row for {stage} missing from --stages output"
         )

@@ -33,7 +33,7 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--independent", action="store_true",
                     help="per-stream front-end: every stage sees B DIFFERENT "
@@ -59,7 +59,10 @@ def main():
 
     B = args.batch
     cfg = MsckfConfig()
-    fcfg = functional.FrontendConfig(max_features=64, window_size=21, max_level=3)
+    fcfg = functional.FrontendConfig(
+        max_features=64, window_size=21, max_level=3,
+        image_precision=os.environ.get("MSCKF_IMAGE_PRECISION", "default"),
+    )
     H, W = cfg.camera.height, cfg.camera.width
     log(f"device={jax.devices()[0]} batch={B} win={fcfg.window_size} "
         f"levels={fcfg.max_level + 1}")
@@ -125,29 +128,51 @@ def main():
         imgs_prev_b = imgs_d[idx] + jit_b
         imgs_cur_b = imgs_d[idx + 1] + jit_b
 
-    # ---- stage fns; each scanned ITERS times on device ----
+    # ---- stage fns; MARGINAL per-iteration cost from two scan lengths ----
+    # The tunneled TPU adds a 25-70 ms (sporadically multi-second) per-CALL
+    # dispatch overhead, so a single fixed-length scan conflates call
+    # overhead with stage cost (round 5: the same pyramid program measured
+    # 3 ms/iter and 139 "ms/iter" minutes apart). (min_wall(L2) -
+    # min_wall(L1)) / (L2 - L1) over a few reps cancels any constant
+    # per-call term and rides out degraded-tunnel windows.
+    L1, L2 = max(args.iters // 4, 5), args.iters
+
     def timed(name, fn, *xs):
-        @jax.jit
-        def loop(*xs):
-            # outputs thread back in as the carry (stage fns return tuples
-            # structured like their inputs) so the scan body can't be hoisted
-            def body(c, _):
-                return fn(*c), None
+        def mk(length):
+            @jax.jit
+            def loop(*xs):
+                # outputs thread back in as the carry (stage fns return
+                # tuples structured like their inputs) so the scan body
+                # can't be hoisted
+                def body(c, _):
+                    return fn(*c), None
 
-            c, _ = jax.lax.scan(body, xs, None, length=args.iters)
-            return c
+                c, _ = jax.lax.scan(body, xs, None, length=length)
+                return c
 
-        t0 = time.perf_counter()
-        r = loop(*xs)
-        jax.block_until_ready(r)
-        np.asarray(jax.device_get(jax.tree_util.tree_leaves(r)[0]).ravel()[:1])
-        compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        r = loop(*xs)
-        jax.block_until_ready(r)
-        np.asarray(jax.device_get(jax.tree_util.tree_leaves(r)[0]).ravel()[:1])
-        dt = (time.perf_counter() - t0) / args.iters
-        log(f"  {name:12s} {dt * 1e3:9.2f} ms/frame-batch  (compile {compile_s:.0f}s)")
+            return loop
+
+        walls = {}
+        compile_s = 0.0
+        for length in (L1, L2):
+            loop = mk(length)
+            t0 = time.perf_counter()
+            r = loop(*xs)
+            jax.block_until_ready(r)
+            np.asarray(jax.device_get(jax.tree_util.tree_leaves(r)[0]).ravel()[:1])
+            compile_s += time.perf_counter() - t0
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                r = loop(*xs)
+                jax.block_until_ready(r)
+                np.asarray(jax.device_get(
+                    jax.tree_util.tree_leaves(r)[0]).ravel()[:1])
+                best = min(best, time.perf_counter() - t0)
+            walls[length] = best
+        dt = (walls[L2] - walls[L1]) / (L2 - L1)
+        log(f"  {name:12s} {dt * 1e3:9.2f} ms/frame-batch  "
+            f"(marginal over {L2}-{L1} iters; compile {compile_s:.0f}s)")
         return dt
 
     results = {}
@@ -158,13 +183,15 @@ def main():
         results["pyramid"] = timed(
             "pyramid",
             lambda imgs: (imgs + 1e-30 * jnp.sum(jax.vmap(
-                lambda im: klt.build_pyramid(im, fcfg.max_level)[-1])(imgs)),),
+                lambda im: klt.build_pyramid(im, fcfg.max_level,
+                    precision=fcfg.image_precision)[-1])(imgs)),),
             imgs_cur_b,
         )
     else:
         results["pyramid"] = timed(
             "pyramid",
-            lambda img: (img + 1e-30 * jnp.sum(klt.build_pyramid(img, fcfg.max_level)[-1]),),
+            lambda img: (img + 1e-30 * jnp.sum(klt.build_pyramid(
+                img, fcfg.max_level, precision=fcfg.image_precision)[-1]),),
             img_cur,
         )
 
@@ -173,23 +200,34 @@ def main():
     valid = fstates.valid
 
     if args.independent:
-        def klt_all(pts, valid):
+        # images travel IN THE CARRY (perturbed by the output) — closed-over
+        # images let XLA hoist the whole per-stream pyramid+track out of the
+        # timing scan (measured round 5: 22.5 ms "klt" vs 163 ms for the
+        # pyramid work it silently excluded)
+        def klt_all(ims_p, ims_c, pts, valid):
             def one(im_p, im_c, pp, vv):
-                pyr_p = klt.build_pyramid(im_p, fcfg.max_level)
-                pyr_c = klt.build_pyramid(im_c, fcfg.max_level)
+                pyr_p = klt.build_pyramid(im_p, fcfg.max_level,
+                                          precision=fcfg.image_precision)
+                pyr_c = klt.build_pyramid(im_c, fcfg.max_level,
+                                          precision=fcfg.image_precision)
                 return klt.track_features_pyr(
                     pyr_p, pyr_c, pp, pp, vv,
                     window_size=fcfg.window_size, max_iters=fcfg.max_iters,
                 )
-            p, s = jax.vmap(one)(imgs_prev_b, imgs_cur_b, pts, valid)
-            return pts + 1e-30 * p, valid
+            p, s = jax.vmap(one)(ims_p, ims_c, pts, valid)
+            eps = 1e-30 * p[0, 0, 0]
+            return ims_p + eps, ims_c + eps, pts, valid
 
-        results["klt(+pyr)"] = timed("klt(+pyr)", klt_all, pts, valid)
+        results["klt(+pyr)"] = timed(
+            "klt(+pyr)", klt_all, imgs_prev_b, imgs_cur_b, pts, valid)
     else:
-        pyr_prev = klt.build_pyramid(img_prev, fcfg.max_level)
-        pyr_cur = klt.build_pyramid(img_cur, fcfg.max_level)
-
-        def klt_all(pts, valid):
+        # the shared pyramids are built once per FRAME in the real pipeline,
+        # so they must be inside the timed body too — carry the images
+        def klt_all(im_p, im_c, pts, valid):
+            pyr_prev = klt.build_pyramid(im_p, fcfg.max_level,
+                                         precision=fcfg.image_precision)
+            pyr_cur = klt.build_pyramid(im_c, fcfg.max_level,
+                                        precision=fcfg.image_precision)
             p, s = jax.vmap(
                 lambda pp, vv: klt.track_features_pyr(
                     pyr_prev, pyr_cur, pp, pp, vv,
@@ -198,33 +236,39 @@ def main():
             )(pts, valid)
             # feed the ORIGINAL pts back (plus an un-DCE-able trace of p) so
             # the tracked points don't drift across iterations
-            return pts + 1e-30 * p, valid
+            eps = 1e-30 * p[0, 0, 0]
+            return im_p + eps, im_c + eps, pts + 1e-30 * p, valid
 
-        results["klt"] = timed("klt", klt_all, pts, valid)
+        results["klt(+pyr)"] = timed("klt(+pyr)", klt_all, img_prev, img_cur,
+                                     pts, valid)
 
     # detection (image score+reduction, per-filter occupancy mask)
     occ = jnp.zeros((B, fcfg.n_grid_rows * fcfg.n_grid_cols), bool)
 
     if args.independent:
-        def det(occ):
+        def det(ims, occ):
             xy, sc, v = jax.vmap(
                 lambda im, o: detect.detect_features(
                     im, o, fcfg.n_grid_rows, fcfg.n_grid_cols,
                     fcfg.fast_threshold, fcfg.detection_threshold,
+                    st_precision=fcfg.image_precision,
                 )
-            )(imgs_cur_b, occ)
-            return (occ ^ (v[:, : occ.shape[1]] & occ),)
+            )(ims, occ)
+            return ims + 1e-30 * sc[0, 0], occ ^ (v[:, : occ.shape[1]] & occ)
+
+        results["detect"] = timed("detect", det, imgs_cur_b, occ)
     else:
-        def det(occ):
+        def det(im, occ):
             xy, sc, v = jax.vmap(
                 lambda o: detect.detect_features(
-                    img_cur, o, fcfg.n_grid_rows, fcfg.n_grid_cols,
+                    im, o, fcfg.n_grid_rows, fcfg.n_grid_cols,
                     fcfg.fast_threshold, fcfg.detection_threshold,
+                    st_precision=fcfg.image_precision,
                 )
             )(occ)
-            return (occ ^ (v[:, : occ.shape[1]] & occ),)  # == occ, un-DCE-able
+            return im + 1e-30 * sc[0, 0], occ ^ (v[:, : occ.shape[1]] & occ)
 
-    results["detect"] = timed("detect", det, occ)
+        results["detect"] = timed("detect", det, img_cur, occ)
 
     # undistort both feature sets (per filter)
     K = jnp.asarray([[cfg.camera.f_u, 0, cfg.camera.c_u],
@@ -237,10 +281,13 @@ def main():
 
     results["undistort"] = timed("undistort", undist, pts)
 
-    # full fused image step (for the total)
-    def full(states, fstates):
+    # full fused image step (for the total); the image rides in the CARRY so
+    # its per-frame pyramid/detect work cannot be hoisted out of the scan
+    img_carry = imgs_cur_b if args.independent else img_cur
+
+    def full(img_c, states, fstates):
         frames1 = pipeline.ImageFrameInput(
-            image=imgs_cur_b if args.independent else img_cur,
+            image=img_c,
             imu_omega=jnp.broadcast_to(om[-1][None], (B,) + om.shape[1:]),
             imu_acc=jnp.broadcast_to(ac[-1][None], (B,) + ac.shape[1:]),
             imu_dt=jnp.broadcast_to(dt_[-1][None], (B,) + dt_.shape[1:]),
@@ -255,15 +302,16 @@ def main():
                 imu_omega=0, imu_acc=0, imu_dt=0,
                 state_id=0, time=0, frame_valid=0)),
         )(states, fstates, frames1)
-        return s2, f2
+        return img_c + 1e-30 * s2.imu.p_I_G[0, 0], s2, f2
 
-    results["full_step"] = timed("full_step", full, states, fstates)
+    results["full_step"] = timed("full_step", full, img_carry, states, fstates)
 
     total = results["full_step"]
     log(f"\nfull step {total * 1e3:.2f} ms => {B / total:.0f} img-frame-steps/s "
         f"at batch {B}")
     mode = "independent-streams" if args.independent else "shared-camera"
-    lines = [f"# image-pipeline per-stage device times, batch={B}, {mode} "
+    lines = [f"# image-pipeline per-stage MARGINAL device times "
+             f"(per-call tunnel overhead cancelled), batch={B}, {mode} "
              f"({time.strftime('%Y-%m-%d %H:%M:%S')})"]
     for k, v in results.items():
         lines.append(f"  {k:12s} {v * 1e3:9.2f} ms")
