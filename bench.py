@@ -144,11 +144,14 @@ def main():
     # real data's burst behavior); diag.staged_overflow in the JSON would
     # expose any violation.
     # Obs-width caps from measured distributions (tools/measure_row_stats.py
-    # at 256x200: prune-candidate involved obs == 2 at p99.9, marginalized
-    # obs <= 21): prune rows 53 -> 9, marg rows 53 -> 41 per staged track.
+    # at 256x200: prune-candidate involved obs == 2 at p99.9 AND at max —
+    # the selection is 0-or->=2 (msckf.h:1092-1094) and bounded by the
+    # window's overshoot past max_cam_states, which is 1 augment/frame at
+    # steady state, so marks are 2/frame on this world; marginalized obs
+    # <= 21): prune rows 53 -> 1, marg rows 53 -> 41 per staged track.
     # diag.row_overflow counts any rows the caps cost.
-    # prune_chunk: with prune_obs_cap=6 each candidate pays 9 buffer rows
-    # (2*6-3) instead of 53, so the prune sweep can chunk ~6x larger at the
+    # prune_chunk: with prune_obs_cap=2 each candidate pays ONE buffer row
+    # (2*2-3) instead of 53, so the prune sweep can chunk ~50x larger at the
     # same peak HBM — one scan step for all 48 candidates at batch <= 1024
     # (the frame step is latency-bound, PROF_STAGES.txt: 0.6% MFU / 11% BW).
     # Divisors of 48 so gated_row_stack's divisibility snap never shrinks it.
@@ -156,7 +159,7 @@ def main():
         max(args.batch, 1024) if args.batch <= 1024 else args.batch, 6)
     cfg = dataclasses.replace(
         cfg, shapes=dataclasses.replace(cfg.shapes, staged_chunk=chunk_s,
-                                        max_staged=8, prune_obs_cap=6,
+                                        max_staged=8, prune_obs_cap=2,
                                         marg_obs_cap=22, prune_chunk=pchunk)
     )
     log(f"device: {dev}, batch={args.batch}, frames={args.frames}")

@@ -67,7 +67,7 @@ def cell_config(name: str) -> MsckfConfig:
         return dataclasses.replace(
             cfg, shapes=dataclasses.replace(
                 cfg.shapes, staged_chunk=max(8, 8192 // B), max_staged=8,
-                prune_obs_cap=6, marg_obs_cap=22,
+                prune_obs_cap=2, marg_obs_cap=22,
                 prune_chunk=48 if B <= 1024 else 6))
     if name == "generous":
         return dataclasses.replace(
