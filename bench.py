@@ -153,7 +153,7 @@ def main():
     # prune_chunk: with prune_obs_cap=2 each candidate pays ONE buffer row
     # (2*2-3) instead of 53, so the prune sweep can chunk ~50x larger at the
     # same peak HBM — one scan step for all 48 candidates at batch <= 1024
-    # (the frame step is latency-bound, PROF_STAGES.txt: 0.6% MFU / 11% BW).
+    # (PROF_STAGES.txt: 2.7% MFU / 48% BW at these shapes).
     # Divisors of 48 so gated_row_stack's divisibility snap never shrinks it.
     pchunk = {1024: 48, 2048: 24, 4096: 12}.get(
         max(args.batch, 1024) if args.batch <= 1024 else args.batch, 6)
